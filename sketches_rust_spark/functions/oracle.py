@@ -1,0 +1,133 @@
+"""DuckDB-oracle SQL generation for DDSketch queries.
+
+The DDSketch estimate is a *deterministic* function of the data and the
+mapping parameters, so it can be re-expressed in ANSI SQL: bucket each value
+with the same trunc rule (SURVEY.md §8 N1), walk buckets in value order
+(negative store by descending index, zero bucket, positive store ascending),
+and pick the first bucket whose cumulative count exceeds rank = q*(n-1).
+
+The exact multiplier / relative-accuracy doubles are interpolated into the
+SQL text via repr(), so DuckDB parses the same parameters the kernel uses.
+Only the LOG layout is SQL-expressible (LogCubic needs f64 bit extraction);
+queries that want hash-matched oracles use LOG.
+
+Float caveat: numpy's vectorized ln/exp can differ from libm by 1 ulp. A
+bucket index only flips if ln(v)*m falls within ~1e-13 of an integer, and a
+rounded output only flips within ~1e-12 of a rounding boundary — both are
+checked against the fixed test data by tests/test_entry_contract.py.
+"""
+
+from __future__ import annotations
+
+from ..kernel.mapping import LOG, IndexMapping
+
+ROUND_DIGITS = 5
+
+
+def log_mapping_params(alpha: float) -> tuple[float, float, float]:
+    m = IndexMapping.with_relative_accuracy(LOG, alpha)
+    return m.multiplier, m.relative_accuracy, m.min_indexable_value()
+
+
+def _bucket_exprs(mult: float, min_indexed: float, value_sql: str = "v"):
+    """(side, idx) bucketing SQL for a double expression."""
+    lnm = f"ln(abs({value_sql})) * {mult!r}"
+    side = (f"CASE WHEN {value_sql} > {min_indexed!r} THEN 1 "
+            f"WHEN {value_sql} < -{min_indexed!r} THEN -1 ELSE 0 END")
+    idx = (f"CASE WHEN abs({value_sql}) > {min_indexed!r} THEN "
+           f"(CASE WHEN {lnm} >= 0 THEN CAST(trunc({lnm}) AS BIGINT) "
+           f"ELSE CAST(trunc({lnm} - 1.0) AS BIGINT) END) ELSE 0 END")
+    return side, idx
+
+
+def _bucket_value(mult: float, ra: float) -> str:
+    """Representative value of bucket (side, idx): side * lower_bound * (1+ra)."""
+    return f"(CASE WHEN side = 0 THEN 0.0 ELSE side * exp(idx / {mult!r}) * {1.0 + ra!r} END)"
+
+
+def ddsketch_quantile_oracle_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    alpha: float,
+    where: str = "",
+) -> str:
+    """Full two-sided DDSketch quantile estimate in SQL.
+
+    quantiles: {output_column_name: q}. Output columns are rounded to
+    ROUND_DIGITS; group columns pass through under their own names.
+    """
+    mult, ra, min_indexed = log_mapping_params(alpha)
+    side, idx = _bucket_exprs(mult, min_indexed)
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+    part = f"PARTITION BY {gsel}" if group_cols else ""
+    wh = f"AND ({where})" if where else ""
+    bucket_value = _bucket_value(mult, ra)
+    qcols = ",\n       ".join(
+        f"round(min(CASE WHEN cum > {q!r} * (n - 1) THEN bv END), {ROUND_DIGITS}) AS {name}"
+        for name, q in quantiles.items()
+    )
+    return f"""
+WITH vals AS (
+  SELECT {gpre}CAST({value_expr} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND isfinite(CAST({value_expr} AS DOUBLE)) {wh}
+),
+buckets AS (
+  SELECT {gpre}{side} AS side, {idx} AS idx, CAST(count(*) AS DOUBLE) AS c
+  FROM vals
+  GROUP BY {'ALL' if not group_cols else gsel + ', side, idx'}
+),
+walk AS (
+  SELECT {gpre}side, idx, c, {bucket_value} AS bv,
+         sum(c) OVER ({part}
+           ORDER BY side ASC, (CASE WHEN side = -1 THEN -idx ELSE idx END) ASC) AS cum,
+         sum(c) OVER ({part}) AS n
+  FROM buckets
+)
+SELECT {gpre}{qcols}
+FROM walk
+{gby}
+"""
+
+
+def ddsketch_stats_oracle_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str],
+    alpha: float,
+    where: str = "",
+) -> str:
+    """count (exact), and sketch-estimated sum/avg/min/max in SQL."""
+    mult, ra, min_indexed = log_mapping_params(alpha)
+    side, idx = _bucket_exprs(mult, min_indexed)
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    wh = f"AND ({where})" if where else ""
+    bucket_value = _bucket_value(mult, ra)
+    return f"""
+WITH vals AS (
+  SELECT {gpre}CAST({value_expr} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND isfinite(CAST({value_expr} AS DOUBLE)) {wh}
+),
+buckets AS (
+  SELECT {gpre}{side} AS side, {idx} AS idx, CAST(count(*) AS DOUBLE) AS c
+  FROM vals
+  GROUP BY {'ALL' if not group_cols else gsel + ', side, idx'}
+),
+valued AS (
+  SELECT {gpre}side, idx, c, {bucket_value} AS bv FROM buckets
+)
+SELECT {gpre}
+       CAST(sum(c) AS BIGINT) AS cnt,
+       round(sum(bv * c), {ROUND_DIGITS}) AS sum_est,
+       round(sum(bv * c) / sum(c), {ROUND_DIGITS}) AS avg_est,
+       round(min(bv), {ROUND_DIGITS}) AS min_est,
+       round(max(bv), {ROUND_DIGITS}) AS max_est
+FROM valued
+{f'GROUP BY {gsel}' if group_cols else ''}
+"""

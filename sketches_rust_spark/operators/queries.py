@@ -1,0 +1,125 @@
+"""Named engine queries + matching DuckDB oracle SQL.
+
+Each query here is a (spark, sf_dir) -> DataFrame callable surfaced through
+``__spark_entry__.queries()``; ``ORACLES`` holds the equivalent ANSI SQL the
+driver runs via DuckDB on the same parquet tables. Column names and rounding
+are kept identical on both sides so the driver's order-insensitive value-hash
+comparison matches.
+
+DDSketch queries use the LOG layout so the oracle can replicate the bucket
+math in SQL (LogCubic needs f64 bit extraction, which SQL lacks); the
+LogCubic path is covered by kernel golden vectors and Spark-level tests
+instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ddsketch_spark import (
+    SketchConfig,
+    ddsketch_aggregate,
+    ddsketch_avg,
+    ddsketch_count,
+    ddsketch_max,
+    ddsketch_min,
+    ddsketch_sum,
+    make_quantile_udf,
+)
+from ..functions.oracle import (
+    ROUND_DIGITS,
+    ddsketch_quantile_oracle_sql,
+    ddsketch_stats_oracle_sql,
+)
+
+ALPHA = 0.01
+
+
+def _cfg(alpha: float = ALPHA) -> SketchConfig:
+    return SketchConfig("logarithmic_unbounded_size_dense_store", alpha, 0)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def sketch_quantile_query(
+    table: str,
+    value_expr: str,
+    groups: list[str],
+    quantiles: dict[str, float],
+    alpha: float = ALPHA,
+):
+    """Build the Spark two-level sketch plan for a quantile query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v")
+        )
+        agg = ddsketch_aggregate(df, "_v", groups, _cfg(alpha))
+        cols = [
+            F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(name)
+            for name, q in quantiles.items()
+        ]
+        return agg.select(*groups, *cols)
+
+    return run
+
+
+def sketch_stats_query(table: str, value_expr: str, groups: list[str],
+                       alpha: float = ALPHA):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v")
+        )
+        agg = ddsketch_aggregate(df, "_v", groups, _cfg(alpha))
+        return agg.select(
+            *groups,
+            ddsketch_count("sketch").cast("bigint").alias("cnt"),
+            F.round(ddsketch_sum("sketch"), ROUND_DIGITS).alias("sum_est"),
+            F.round(ddsketch_avg("sketch"), ROUND_DIGITS).alias("avg_est"),
+            F.round(ddsketch_min("sketch"), ROUND_DIGITS).alias("min_est"),
+            F.round(ddsketch_max("sketch"), ROUND_DIGITS).alias("max_est"),
+        )
+
+    return run
+
+
+_P503 = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ddsketch_textlen_by_lang": sketch_quantile_query(
+        "documents", "length(text)", ["lang"], _P503),
+    "ddsketch_nchars_global": sketch_quantile_query(
+        "documents", "n_chars", [], {"p50": 0.5, "p99": 0.99, "p999": 0.999}),
+    "ddsketch_events_value_by_type": sketch_quantile_query(
+        "events", "value", ["event_type"], {"p50": 0.5, "p95": 0.95, "p99": 0.99}),
+    "ddsketch_events_centered_by_type": sketch_quantile_query(
+        "events", "value - 100.0", ["event_type"], _P503),
+    "ddsketch_price_by_returnflag": sketch_quantile_query(
+        "lineitem", "l_extendedprice", ["l_returnflag"], {"p50": 0.5, "p99": 0.99}),
+    "ddsketch_stats_by_lang": sketch_stats_query(
+        "documents", "length(text)", ["lang"]),
+    "ddsketch_stats_events_centered": sketch_stats_query(
+        "events", "value - 100.0", ["event_type"]),
+}
+
+DDSKETCH_ORACLES: dict[str, str] = {
+    "ddsketch_textlen_by_lang": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"], _P503, ALPHA),
+    "ddsketch_nchars_global": ddsketch_quantile_oracle_sql(
+        "documents", "n_chars", [], {"p50": 0.5, "p99": 0.99, "p999": 0.999}, ALPHA),
+    "ddsketch_events_value_by_type": ddsketch_quantile_oracle_sql(
+        "events", "value", ["event_type"], {"p50": 0.5, "p95": 0.95, "p99": 0.99}, ALPHA),
+    "ddsketch_events_centered_by_type": ddsketch_quantile_oracle_sql(
+        "events", "value - 100.0", ["event_type"], _P503, ALPHA),
+    "ddsketch_price_by_returnflag": ddsketch_quantile_oracle_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag"], {"p50": 0.5, "p99": 0.99}, ALPHA),
+    "ddsketch_stats_by_lang": ddsketch_stats_oracle_sql(
+        "documents", "length(text)", ["lang"], ALPHA),
+    "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(
+        "events", "value - 100.0", ["event_type"], ALPHA),
+}
