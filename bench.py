@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., plus throughput extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"sketches-rust-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(CPUS)
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/py-worker warmup
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total_rows_sketched = 0
+    sketch_build_secs = 0.0
+
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        out = qs[name](spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        assert len(out) >= 0
+        if name.startswith("ddsketch_"):
+            sketch_build_secs += dt
+
+    # headline throughput: global DDSketch build over the largest fact table
+    from pyspark.sql import functions as F
+
+    from sketches_rust_spark.functions.ddsketch_spark import (
+        SketchConfig,
+        ddsketch_aggregate,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_rows = li.count()
+    cfg = SketchConfig("logarithmic_collapsing_lowest_dense", 0.01, 2048)
+    t0 = time.perf_counter()
+    res = ddsketch_aggregate(
+        li.select(F.col("l_extendedprice").alias("v")), "v", [], cfg
+    ).collect()
+    build_dt = time.perf_counter() - t0
+    timings["throughput_build_lineitem"] = round(build_dt, 4)
+    total_rows_sketched = n_rows
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "sketch_build_rows_per_sec": round(total_rows_sketched / build_dt, 1),
+        "sketch_build_rows": total_rows_sketched,
+        "final_groups": len(res),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,26 @@ class SketchConfig:
 DEFAULT_CONFIG = SketchConfig()
 
 
+def _factorize_keys(pdf: pd.DataFrame, keys: list[str]):
+    """(int codes per row, tuple-of-key-values per code) for 1..n key columns.
+    NaN/None group keys are kept (use_na_sentinel=False), matching SQL
+    GROUP BY null-key semantics."""
+    if len(keys) == 1:
+        codes, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+        return codes, [(u,) for u in uniques]
+    per_col = [pd.factorize(pdf[k], use_na_sentinel=False) for k in keys]
+    sizes = [len(u) for _, u in per_col]
+    combined = per_col[0][0].astype(np.int64)
+    for (c, _), size in zip(per_col[1:], sizes[1:]):
+        combined = combined * size + c
+    comp_codes, comp_uniques = pd.factorize(combined)
+    # map each compact code back to the tuple of original key values
+    first_row = np.empty(len(comp_uniques), dtype=np.int64)
+    first_row[comp_codes] = np.arange(len(comp_codes))  # any representative row
+    uniques = [tuple(pdf[k].iloc[int(r)] for k in keys) for r in first_row]
+    return comp_codes, uniques
+
+
 def _key_fields(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
     by_name = {f.name: f for f in df.schema.fields}
     return [by_name[k] for k in keys]
@@ -94,33 +114,45 @@ def build_partials(
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sketches: dict[tuple, DDSketch] = {}
+        router = config.new()  # only for route_batch parameters
+        # Deferred build: per batch, ONE vectorized log/route pass and a
+        # factorize+argsort grouping; per group we only append (side, idx)
+        # slices. Bucket counts are materialized once per group at the end of
+        # the partition — per-row cost is pure numpy, no per-batch-per-group
+        # store bookkeeping. (idx is int64 + int8 per row, so the deferred
+        # state is ~9 bytes/row of the partition — bounded by the Arrow
+        # partition size, not the table size.)
+        routed: dict[tuple, list[tuple[np.ndarray, np.ndarray]]] = {}
         rows: dict[tuple, int] = {}
         for pdf in batches:
-            if keys:
-                grouped = pdf.groupby(keys, dropna=False, sort=False)
-                for key, sub in grouped:
-                    key = key if isinstance(key, tuple) else (key,)
-                    vals = sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-                    sk = sketches.get(key)
-                    if sk is None:
-                        sk = sketches[key] = config.new()
-                        rows[key] = 0
-                    sk.accept_many(vals)
-                    rows[key] += len(sub)
-            else:
-                vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-                sk = sketches.get(())
-                if sk is None:
-                    sk = sketches[()] = config.new()
-                    rows[()] = 0
-                sk.accept_many(vals)
-                rows[()] += len(pdf)
-        if sketches:
-            records = [
-                dict(zip(keys, key)) | {SKETCH_COL: sk.encode(), ROWS_COL: rows[key]}
-                for key, sk in sketches.items()
-            ]
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            side, idx = router.route_batch(vals)
+            if not keys:
+                routed.setdefault((), []).append((side, idx))
+                rows[()] = rows.get((), 0) + len(pdf)
+                continue
+            codes, uniques = _factorize_keys(pdf, keys)
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            sorted_side = side[order]
+            sorted_idx = idx[order]
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sorted_codes)]))
+            for s, e in zip(starts, ends):
+                key = uniques[sorted_codes[s]]
+                routed.setdefault(key, []).append((sorted_side[s:e], sorted_idx[s:e]))
+                rows[key] = rows.get(key, 0) + (e - s)
+        if routed:
+            records = []
+            for key, chunks in routed.items():
+                sk = config.new()
+                side = np.concatenate([c[0] for c in chunks])
+                idx = np.concatenate([c[1] for c in chunks])
+                sk.apply_routed(side, idx)
+                records.append(
+                    dict(zip(keys, key)) | {SKETCH_COL: sk.encode(), ROWS_COL: rows[key]}
+                )
             yield pd.DataFrame(records, columns=keys + [SKETCH_COL, ROWS_COL])
 
     return narrow.mapInPandas(partial, schema=out_schema)

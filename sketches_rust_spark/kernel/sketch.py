@@ -163,6 +163,38 @@ class DDSketch:
         if zc > 0.0:
             self.zero_count += float(zc)
 
+    def route_batch(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized routing for deferred builds: returns (side, idx) where
+        side is +1/-1/0 for positive-store/negative-store/zero-bucket and -2
+        for dropped values; idx is the bucket index (valid where side=+-1).
+
+        One log pass per batch; callers can slice the result per group and
+        apply it later with ``apply_routed`` — the aggregation hot path.
+        """
+        v = np.asarray(values, dtype=np.float64)
+        side = np.full(v.shape[0], -2, dtype=np.int8)
+        ok = np.isfinite(v) & (np.abs(v) <= self.max_indexed_value)
+        side[ok & (v > self.min_indexed_value)] = 1
+        side[ok & (v < -self.min_indexed_value)] = -1
+        side[ok & (np.abs(v) <= self.min_indexed_value)] = 0
+        idx = np.zeros(v.shape[0], dtype=np.int64)
+        nz = (side == 1) | (side == -1)
+        if nz.any():
+            idx[nz] = self.index_mapping.index_of(np.abs(v[nz]))
+        return side, idx
+
+    def apply_routed(self, side: np.ndarray, idx: np.ndarray) -> None:
+        """Insert pre-routed (side, idx) pairs (weight 1 each)."""
+        pos = side == 1
+        if pos.any():
+            self.positive_value_store.add_many(idx[pos])
+        neg = side == -1
+        if neg.any():
+            self.negative_value_store.add_many(idx[neg])
+        zc = int((side == 0).sum())
+        if zc:
+            self.zero_count += float(zc)
+
     # -- queries (spec sketch.rs:58-171) ---------------------------------------
 
     def is_empty(self) -> bool:

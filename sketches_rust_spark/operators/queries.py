@@ -29,6 +29,10 @@ from ..functions.ddsketch_spark import (
     ddsketch_sum,
     make_quantile_udf,
 )
+from ..functions.ddsketch_sql import (
+    ddsketch_quantiles_sql,
+    ddsketch_stats_sql,
+)
 from ..functions.oracle import (
     ROUND_DIGITS,
     ddsketch_quantile_oracle_sql,
@@ -52,13 +56,19 @@ def sketch_quantile_query(
     groups: list[str],
     quantiles: dict[str, float],
     alpha: float = ALPHA,
+    path: str = "sql",
 ):
-    """Build the Spark two-level sketch plan for a quantile query."""
+    """Quantile query. path='sql' (default): fully-JVM histogram + window
+    walk — the scalable plan. path='pandas': blob UDAF pipeline (kept under
+    test for parity; required for LogCubic presets)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load(spark, sf_dir, table).select(
             *groups, F.expr(value_expr).cast("double").alias("_v")
         )
+        if path == "sql":
+            return ddsketch_quantiles_sql(df, "_v", groups, quantiles,
+                                          _cfg(alpha), round_digits=ROUND_DIGITS)
         agg = ddsketch_aggregate(df, "_v", groups, _cfg(alpha))
         cols = [
             F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(name)
@@ -70,11 +80,14 @@ def sketch_quantile_query(
 
 
 def sketch_stats_query(table: str, value_expr: str, groups: list[str],
-                       alpha: float = ALPHA):
+                       alpha: float = ALPHA, path: str = "sql"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load(spark, sf_dir, table).select(
             *groups, F.expr(value_expr).cast("double").alias("_v")
         )
+        if path == "sql":
+            return ddsketch_stats_sql(df, "_v", groups, _cfg(alpha),
+                                      round_digits=ROUND_DIGITS)
         agg = ddsketch_aggregate(df, "_v", groups, _cfg(alpha))
         return agg.select(
             *groups,
@@ -105,6 +118,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents", "length(text)", ["lang"]),
     "ddsketch_stats_events_centered": sketch_stats_query(
         "events", "value - 100.0", ["event_type"]),
+    "ddsketch_textlen_by_lang_pandas_path": sketch_quantile_query(
+        "documents", "length(text)", ["lang"], _P503, path="pandas"),
 }
 
 DDSKETCH_ORACLES: dict[str, str] = {
@@ -122,4 +137,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "documents", "length(text)", ["lang"], ALPHA),
     "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(
         "events", "value - 100.0", ["event_type"], ALPHA),
+    "ddsketch_textlen_by_lang_pandas_path": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"], _P503, ALPHA),
 }

@@ -83,7 +83,7 @@ def _block_arrays(block_id: int, n: int):
     return urls, ts, htmls, texts, lang
 
 
-def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = BLOCK) -> str:
+def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = 50_000) -> str:
     """Materialize the pages table as parquet at ``path`` (idempotent)."""
     done_marker = os.path.join(path, "_DONE")
     if os.path.exists(done_marker):
@@ -98,7 +98,10 @@ def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = BLOCK
     ])
     n_blocks = (num_rows + BLOCK - 1) // BLOCK
     out = os.path.join(path, "pages.parquet")
-    with pq.ParquetWriter(out, schema) as writer:
+    # Dictionary encoding is useless for near-unique long strings and makes
+    # Spark's vectorized parquet reader ~3x slower on this column shape;
+    # write text/html as plain pages.
+    with pq.ParquetWriter(out, schema, use_dictionary=["url", "lang"]) as writer:
         for b in range(n_blocks):
             n = min(BLOCK, num_rows - b * BLOCK)
             urls, ts, htmls, texts, lang = _block_arrays(b, n)
@@ -107,7 +110,8 @@ def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = BLOCK
                  pa.array(htmls, type=pa.binary()), pa.array(texts), pa.array(lang)],
                 schema=schema,
             )
-            writer.write_batch(batch)
+            writer.write_table(pa.Table.from_batches([batch]),
+                               row_group_size=row_group_rows)
     with open(done_marker, "w") as f:
         f.write(str(num_rows))
     return path

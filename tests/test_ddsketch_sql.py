@@ -1,0 +1,110 @@
+"""Tests for the JVM-native (SQL) DDSketch build path."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketches_rust_spark.functions.ddsketch_spark import (
+    SketchConfig,
+    ddsketch_aggregate,
+    make_quantile_udf,
+)
+from sketches_rust_spark.functions.ddsketch_sql import (
+    ddsketch_aggregate_sql,
+    ddsketch_histogram,
+    ddsketch_quantiles_sql,
+)
+from sketches_rust_spark.kernel.sketch import DDSketch
+
+CFG = SketchConfig("logarithmic_unbounded_size_dense_store", 0.01, 0)
+CFG_COLLAPSING = SketchConfig("logarithmic_collapsing_lowest_dense", 0.01, 64)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sql_build_estimates_match_python_build(spark, documents):
+    """SQL-path and pandas-path sketches must agree within alpha (1-ulp ln
+    differences may flip boundary values to adjacent buckets, so byte
+    identity is not required — estimate equality within alpha is)."""
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    sql_blobs = {r["lang"]: bytes(r["sketch"])
+                 for r in ddsketch_aggregate_sql(df, "v", ["lang"], CFG).collect()}
+    py_blobs = {r["lang"]: bytes(r["sketch"])
+                for r in ddsketch_aggregate(df, "v", ["lang"], CFG).collect()}
+    assert set(sql_blobs) == set(py_blobs)
+    alpha = CFG.new().index_mapping.relative_accuracy
+    for lang in sql_blobs:
+        a = DDSketch.decode(sql_blobs[lang])
+        b = DDSketch.decode(py_blobs[lang])
+        assert a.get_count() == b.get_count()
+        for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+            va, vb = a.get_value_at_quantile(q), b.get_value_at_quantile(q)
+            assert abs(va - vb) <= 2 * alpha * abs(vb), (lang, q, va, vb)
+
+
+def test_sql_quantiles_match_blob_quantiles(spark, documents):
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    qs = {"p50": 0.5, "p99": 0.99}
+    direct = {r["lang"]: (r["p50"], r["p99"])
+              for r in ddsketch_quantiles_sql(df, "v", ["lang"], qs, CFG).collect()}
+    blobs = ddsketch_aggregate_sql(df, "v", ["lang"], CFG)
+    via_blob = {
+        r["lang"]: (r["p50"], r["p99"])
+        for r in blobs.select(
+            "lang",
+            make_quantile_udf(0.5)("sketch").alias("p50"),
+            make_quantile_udf(0.99)("sketch").alias("p99"),
+        ).collect()
+    }
+    assert set(direct) == set(via_blob)
+    for lang in direct:
+        for a, b in zip(direct[lang], via_blob[lang]):
+            # same bucket; JVM exp vs numpy exp may differ in the last ulp
+            assert abs(a - b) <= 1e-12 * abs(b), (lang, a, b)
+
+
+def test_sql_histogram_counts_exact(spark, documents):
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    hist = ddsketch_histogram(df, "v", ["lang"], CFG)
+    got = {r["lang"]: r["n"] for r in
+           hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n")).collect()}
+    want = {r["lang"]: r["n"] for r in
+            df.groupBy("lang").agg(F.count("v").alias("n")).collect()}
+    assert got == want
+
+
+def test_sql_build_negative_and_zero(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"v": [-5.0, -1.0, 0.0, 0.0, 2.0, 1000.0, None, float("nan")]})
+    df = spark.createDataFrame(pdf)
+    rows = ddsketch_aggregate_sql(df, "v", [], CFG).collect()
+    sk = DDSketch.decode(bytes(rows[0]["sketch"]))
+    assert sk.get_count() == 6.0
+    assert sk.zero_count == 2.0
+    assert abs(sk.get_value_at_quantile(0.0) - -5.0) / 5.0 <= 0.011
+
+
+def test_sql_build_collapsing_cap(spark, documents):
+    """Collapsing preset enforces the bucket cap in the blob-assembly stage."""
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    rows = ddsketch_aggregate_sql(df, "v", [], CFG_COLLAPSING).collect()
+    sk = DDSketch.decode(bytes(rows[0]["sketch"]))
+    pos = sk.positive_value_store
+    assert (pos.get_max_index() - pos.get_min_index() + 1) <= 64
+
+
+def test_sql_plan_is_native_hash_aggregate(spark, documents):
+    """The per-row path must be whole-stage-codegen HashAggregate with a
+    partial_count before the shuffle, and no Python eval anywhere."""
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    hist = ddsketch_histogram(df, "v", ["lang"], CFG)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "Python" not in plan     # no per-row Python anywhere
+    assert "PushedFilters: [IsNotNull" in plan  # filter reached the scan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan  # pruned scan
