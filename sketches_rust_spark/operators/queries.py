@@ -101,6 +101,90 @@ def sketch_stats_query(table: str, value_expr: str, groups: list[str],
     return run
 
 
+def hll_query(table: str, id_expr: str, groups: list[str], p: int = 14):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import hll_adapter, hll_estimate, sketch_aggregate
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(id_expr).cast("long").alias("_id"))
+        agg = sketch_aggregate(df, "_id", groups, hll_adapter(p=p, hash_mode="splitmix"))
+        return agg.select(*groups, F.round(hll_estimate("sketch"), 2).alias("est"))
+    return run
+
+
+def _probe_df(spark: SparkSession, probes: list[int]):
+    import numpy as np
+    from ..kernel.bits import splitmix64
+    hashes = splitmix64(np.array(probes, dtype=np.uint64)).view(np.int64)
+    return spark.createDataFrame(
+        [(int(p), int(h)) for p, h in zip(probes, hashes)], ["probe", "_h"])
+
+
+def cms_probe_query(table: str, id_expr: str, probes: list[int],
+                    depth: int = 5, width: int = 4096, where: str = ""):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            cms_adapter, cms_point_estimate, sketch_aggregate)
+        df = load(spark, sf_dir, table)
+        if where:
+            df = df.where(where)
+        df = df.select(F.expr(id_expr).cast("long").alias("_id"))
+        agg = sketch_aggregate(df, "_id", [], cms_adapter(depth, width, "splitmix"))
+        return (_probe_df(spark, probes)
+                .crossJoin(F.broadcast(agg.select("sketch")))
+                .select("probe", cms_point_estimate("sketch", "_h").alias("est")))
+    return run
+
+
+def bloom_probe_query(table: str, id_expr: str, probes: list[int],
+                      m_bits: int = 1 << 18, k: int = 7, where: str = ""):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            bloom_adapter, bloom_might_contain, sketch_aggregate)
+        df = load(spark, sf_dir, table)
+        if where:
+            df = df.where(where)
+        df = df.select(F.expr(id_expr).cast("long").alias("_id"))
+        agg = sketch_aggregate(df, "_id", [], bloom_adapter(m_bits, k, "splitmix"))
+        return (_probe_df(spark, probes)
+                .crossJoin(F.broadcast(agg.select("sketch")))
+                .select("probe", bloom_might_contain("sketch", "_h").alias("member")))
+    return run
+
+
+def tdigest_query(table: str, value_expr: str, groups: list[str],
+                  quantiles: dict[str, float], delta: float = 200.0):
+    """Rows-only driver check (t-digest state is input-order-dependent);
+    accuracy is covered by pytest rank-error bounds."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            sketch_aggregate, tdigest_adapter, tdigest_quantile)
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v"))
+        agg = sketch_aggregate(df, "_v", groups, tdigest_adapter(delta))
+        cols = [tdigest_quantile("sketch", F.lit(q)).alias(name)
+                for name, q in quantiles.items()]
+        return agg.select(*groups, *cols)
+    return run
+
+
+def kll_query(table: str, value_expr: str, groups: list[str],
+              quantiles: dict[str, float], k: int = 200):
+    """Rows-only driver check (KLL compaction is randomized/order-dependent)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kll_adapter, kll_quantile, sketch_aggregate)
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v"))
+        agg = sketch_aggregate(df, "_v", groups, kll_adapter(k))
+        cols = [kll_quantile("sketch", F.lit(q)).alias(name)
+                for name, q in quantiles.items()]
+        return agg.select(*groups, *cols)
+    return run
+
+
+_CMS_PROBES = list(range(40))
+_BLOOM_PROBES = list(range(60))
+
 _P503 = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
 
 DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -120,7 +204,25 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "value - 100.0", ["event_type"]),
     "ddsketch_textlen_by_lang_pandas_path": sketch_quantile_query(
         "documents", "length(text)", ["lang"], _P503, path="pandas"),
+    "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
+    "hll_partkeys_by_returnflag": hll_query(
+        "lineitem", "l_partkey", ["l_returnflag"], p=14),
+    "cms_user_event_counts": cms_probe_query(
+        "events", "user_id", _CMS_PROBES, depth=5, width=4096),
+    "bloom_purchase_users": bloom_probe_query(
+        "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
+        where="event_type = 'purchase'"),
+    "tdigest_value_by_event_type": tdigest_query(
+        "events", "value", ["event_type"], _P503),
+    "kll_price_by_returnflag": kll_query(
+        "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
 }
+
+from ..functions.sibling_oracle import (  # noqa: E402
+    bloom_oracle_sql,
+    cms_oracle_sql,
+    hll_oracle_sql,
+)
 
 DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_textlen_by_lang": ddsketch_quantile_oracle_sql(
@@ -139,4 +241,14 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "events", "value - 100.0", ["event_type"], ALPHA),
     "ddsketch_textlen_by_lang_pandas_path": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], _P503, ALPHA),
+    "hll_users_by_event_type": hll_oracle_sql("events", "user_id", ["event_type"], 14),
+    "hll_partkeys_by_returnflag": hll_oracle_sql(
+        "lineitem", "l_partkey", ["l_returnflag"], 14),
+    "cms_user_event_counts": cms_oracle_sql(
+        "events", "user_id", _CMS_PROBES, depth=5, width=4096),
+    "bloom_purchase_users": bloom_oracle_sql(
+        "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
+        where="event_type = 'purchase'"),
+    # tdigest/kll: intentionally no oracle (input-order-dependent state) ->
+    # rows-only driver check; error bounds covered in pytest
 }

@@ -1,0 +1,112 @@
+"""Spark-level tests for sibling-sketch aggregation."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketches_rust_spark.functions.sketch_udafs import (
+    bloom_adapter,
+    bloom_might_contain,
+    cms_adapter,
+    cms_point_estimate,
+    hll_adapter,
+    hll_estimate,
+    kll_adapter,
+    kll_quantile,
+    register_sibling_sql,
+    sketch_aggregate,
+    tdigest_adapter,
+    tdigest_quantile,
+)
+from sketches_rust_spark.kernel.hll import HyperLogLog
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_hll_by_type_matches_exact_within_bound(spark, events):
+    agg = sketch_aggregate(events, F.xxhash64("user_id"), ["event_type"],
+                           hll_adapter(p=14))
+    got = {r["event_type"]: r["est"] for r in
+           agg.select("event_type", hll_estimate("sketch").alias("est")).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    rse = HyperLogLog(14).relative_standard_error()
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n <= 4 * rse, (k, got[k], n)
+
+
+def test_hll_partition_invariance(spark, events):
+    blobs = []
+    for parts in (1, 5):
+        agg = sketch_aggregate(events.repartition(parts), F.xxhash64("user_id"),
+                               ["event_type"], hll_adapter(p=12))
+        blobs.append({r["event_type"]: bytes(r["sketch"]) for r in agg.collect()})
+    assert blobs[0] == blobs[1]  # register-max merge is exactly invariant
+
+
+def test_cms_heavy_hitter_bound(spark, events):
+    agg = sketch_aggregate(events, F.xxhash64("event_type"), [],
+                           cms_adapter(depth=5, width=4096))
+    row = agg.select("sketch", "rows_in").collect()[0]
+    exact = dict(events.groupBy("event_type").count().collect())
+    blob_df = spark.createDataFrame(
+        [(row["sketch"], t) for t in exact], ["sketch", "t"]
+    ).withColumn("h", F.xxhash64("t"))
+    est = {r["t"]: r["est"] for r in blob_df.select(
+        "t", cms_point_estimate("sketch", "h").alias("est")).collect()}
+    n = row["rows_in"]
+    for t, c in exact.items():
+        assert c <= est[t] <= c + np.e / 4096 * n + 1
+
+
+def test_bloom_membership(spark, events):
+    agg = sketch_aggregate(events.where("event_type = 'purchase'"),
+                           F.xxhash64("user_id"), [],
+                           bloom_adapter(m_bits=1 << 18, k=7))
+    blob = agg.collect()[0]["sketch"]
+    probe = events.select("user_id", F.xxhash64("user_id").alias("h")).distinct() \
+        .withColumn("member", F.lit(None).cast("boolean"))
+    pdf = probe.select("user_id", "h").toPandas()
+    purchasers = {r["user_id"] for r in
+                  events.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+    checks = spark.createDataFrame(pdf).withColumn("blob", F.lit(bytes(blob)))
+    got = {r["user_id"]: r["m"] for r in checks.select(
+        "user_id", bloom_might_contain("blob", "h").alias("m")).collect()}
+    # zero false negatives
+    assert all(got[u] for u in purchasers)
+    non = [u for u in got if u not in purchasers]
+    if non:
+        fpr = sum(got[u] for u in non) / len(non)
+        assert fpr <= 0.05
+
+
+@pytest.mark.parametrize("adapter,qudf", [
+    (tdigest_adapter(200.0), tdigest_quantile),
+    (kll_adapter(200), kll_quantile),
+])
+def test_quantile_sketches_rank_error(spark, events, adapter, qudf):
+    agg = sketch_aggregate(events, F.col("value").cast("double"), ["event_type"],
+                           adapter)
+    got = agg.select("event_type", qudf("sketch", F.lit(0.9)).alias("p90")).collect()
+    pdf = events.select("event_type", "value").toPandas()
+    for r in got:
+        vals = np.sort(pdf[pdf["event_type"] == r["event_type"]]["value"].to_numpy())
+        rank = np.searchsorted(vals, r["p90"]) / len(vals)
+        assert abs(rank - 0.9) <= 0.05, (r["event_type"], rank)
+
+
+def test_sibling_sql_surface(spark, events):
+    register_sibling_sql(spark, hll_p=14)
+    agg = sketch_aggregate(events, F.xxhash64("user_id"), ["event_type"],
+                           hll_adapter(p=14))
+    agg.createOrReplaceTempView("hll_partials")
+    out = spark.sql("""
+        SELECT hll_estimate(hll_merge(sketch)) AS est FROM hll_partials
+    """).collect()[0]["est"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(out - exact) / exact <= 4 * HyperLogLog(14).relative_standard_error()
