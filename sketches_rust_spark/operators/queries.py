@@ -182,8 +182,67 @@ def kll_query(table: str, value_expr: str, groups: list[str],
     return run
 
 
+def text_features_query():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .text import text_features
+        df = load(spark, sf_dir, "documents")
+        return text_features(df).select(
+            "doc_id", "text_len", "n_tokens", "n_subtokens", "punct_ratio",
+            "mean_token_len", "quality", "lang_pred", "fingerprint")
+    return run
+
+
+def exact_dup_stats_query():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import exact_dup_stats
+        return exact_dup_stats(load(spark, sf_dir, "documents"))
+    return run
+
+
+def ngram_jaccard_query(shingle_k: int = 3, threshold: float = 0.3):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                   shingle_k=shingle_k, threshold=threshold)
+    return run
+
+
+def minhash_lsh_query(num_perm: int = 16, shingle_k: int = 3,
+                      bands: int = 8, rows_per_band: int = 2,
+                      id_limit: int = 1500):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import (lsh_candidate_pairs, minhash_jaccard_estimate,
+                            minhash_signatures)
+        df = load(spark, sf_dir, "documents").where(F.col("doc_id") < id_limit)
+        sigs = minhash_signatures(df, num_perm=num_perm, shingle_k=shingle_k)
+        cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+        return minhash_jaccard_estimate(sigs, cand)
+    return run
+
+
+def ann_topk_query(probe_ids: list[int], k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .similarity import brute_force_topk, make_probes
+        emb = load(spark, sf_dir, "embeddings")
+        probes = make_probes(spark, emb, probe_ids)
+        return brute_force_topk(emb, probes, k=k)
+    return run
+
+
+def ann_lsh_query(probe_ids: list[int], k: int = 10, nbits: int = 6):
+    """Rows-only driver check (bucketed approximate search); recall is
+    covered by pytest against the exact top-k."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .similarity import lsh_topk, make_probes
+        emb = load(spark, sf_dir, "embeddings")
+        probes = make_probes(spark, emb, probe_ids)
+        return lsh_topk(emb, probes, k=k, nbits=nbits)
+    return run
+
+
 _CMS_PROBES = list(range(40))
 _BLOOM_PROBES = list(range(60))
+_ANN_PROBES = [0, 1, 2, 3, 4]
 
 _P503 = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
 
@@ -216,6 +275,12 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "value", ["event_type"], _P503),
     "kll_price_by_returnflag": kll_query(
         "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
+    "text_features_documents": text_features_query(),
+    "dedup_exact_stats": exact_dup_stats_query(),
+    "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
+    "dedup_minhash_lsh_pairs": minhash_lsh_query(),
+    "ann_cosine_topk": ann_topk_query(_ANN_PROBES, k=10),
+    "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
 }
 
 from ..functions.sibling_oracle import (  # noqa: E402
@@ -223,6 +288,13 @@ from ..functions.sibling_oracle import (  # noqa: E402
     cms_oracle_sql,
     hll_oracle_sql,
 )
+from .dedup import (  # noqa: E402
+    exact_dup_stats_oracle_sql,
+    minhash_lsh_oracle_sql,
+    ngram_jaccard_oracle_sql,
+)
+from .similarity import brute_force_topk_oracle_sql  # noqa: E402
+from .text import text_features_oracle_sql  # noqa: E402
 
 DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_textlen_by_lang": ddsketch_quantile_oracle_sql(
@@ -251,4 +323,13 @@ DDSKETCH_ORACLES: dict[str, str] = {
         where="event_type = 'purchase'"),
     # tdigest/kll: intentionally no oracle (input-order-dependent state) ->
     # rows-only driver check; error bounds covered in pytest
+    "text_features_documents": text_features_oracle_sql("documents", "doc_id"),
+    "dedup_exact_stats": exact_dup_stats_oracle_sql("documents"),
+    "dedup_ngram_jaccard_pairs": ngram_jaccard_oracle_sql(
+        "documents", "doc_id", "text", 3, 0.3),
+    "dedup_minhash_lsh_pairs": minhash_lsh_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id < 1500)", "doc_id", "text",
+        16, 3, 8, 2),
+    "ann_cosine_topk": brute_force_topk_oracle_sql("embeddings", _ANN_PROBES, 10),
+    # ann_lsh_topk: rows-only (approximate bucketed search; recall in pytest)
 }

