@@ -1,0 +1,152 @@
+"""Structured Streaming sketch aggregation.
+
+Two shapes, both built on blob mergeability (the same property that makes
+the batch two-level plan exact):
+
+1. **append-only partials + merge-on-read** (`stream_sketch_partials` +
+   `merged_stream_result`): each micro-batch writes its per-group partial
+   blobs to an append-only parquet sink via ``foreachBatch``; readers merge
+   blobs per group on demand. No state store at all — late data simply lands
+   in a later batch's partial and merges in. This is the shape that survives
+   10^12-row streams: state is bounded by (groups x batches), compactable by
+   re-merging, and restart-safe because the sink is append-only.
+
+2. **stateful running sketches** (`stateful_sketch_stream`): a custom
+   stateful operator via ``applyInPandasWithState`` — per-key state IS the
+   serialized sketch blob; every batch decodes-merges-encodes and emits the
+   running quantile estimates. Demonstrates sketch-as-streaming-state; the
+   state size is the blob size (KBs), not the data size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.ddsketch_spark import SketchConfig, merge_partials
+from ..functions.ddsketch_sql import ddsketch_aggregate_sql
+from ..kernel.sketch import DDSketch
+
+
+def stream_sketch_partials(
+    stream_df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: SketchConfig,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query writing per-batch partial sketch blobs.
+
+    Each micro-batch runs the JVM-native histogram build (no raw-row Python)
+    and appends (keys..., sketch, rows_in, batch_id) to ``sink_dir``.
+    """
+    keys = list(keys)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = ddsketch_aggregate_sql(batch_df, value_col, keys, config)
+        (partials.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(sink_dir))
+
+    writer = (stream_df.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_stream_result(spark: SparkSession, sink_dir: str,
+                         keys: Sequence[str], config: SketchConfig) -> DataFrame:
+    """Merge-on-read: fold all appended partials per group into final blobs."""
+    partials = spark.read.parquet(sink_dir).drop("batch_id")
+    return merge_partials(partials, list(keys), config)
+
+
+def stateful_sketch_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    key: str,
+    config: SketchConfig,
+    quantile: float = 0.99,
+) -> DataFrame:
+    """Running per-key sketches via applyInPandasWithState.
+
+    State = the serialized sketch blob. Output per batch: (key, count, qXX).
+    """
+    out_schema = StructType([
+        StructField("key", StringType(), False),
+        StructField("count", DoubleType(), False),
+        StructField("estimate", DoubleType(), True),
+        StructField("blob_bytes", LongType(), False),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        sk = config.new()
+        if state.exists:
+            (blob,) = state.get
+            if blob is not None:
+                sk.decode_and_merge_with(bytes(blob))
+        for pdf in pdf_iter:
+            sk.accept_many(pdf[value_col].to_numpy(np.float64, na_value=np.nan))
+        blob = sk.encode()
+        state.update((bytearray(blob),))
+        yield pd.DataFrame([{
+            "key": key_tuple[0],
+            "count": sk.get_count(),
+            "estimate": sk.get_value_at_quantile(quantile),
+            "blob_bytes": len(blob),
+        }])
+
+    return (stream_df
+            .groupBy(F.col(key))
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
+def windowed_sketch_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: SketchConfig,
+    ts_col: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window sketch histogram — the fully-native
+    streaming aggregation: groupBy(window, keys, side, idx).count() runs in
+    the state store with late-data handling from the watermark; downstream
+    consumers assemble blobs or walk quantiles exactly as in batch."""
+    from ..functions.ddsketch_sql import bucket_columns, value_guard
+
+    keys = list(keys)
+    v = F.col(value_col)
+    side, idx = bucket_columns(v, config)
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .where(value_guard(v, config))
+            .groupBy(F.window(ts_col, window_duration), *keys,
+                     side.alias("side"), idx.alias("idx"))
+            .agg(F.count(F.lit(1)).cast("double").alias("c")))

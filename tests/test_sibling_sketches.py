@@ -25,9 +25,9 @@ def test_popcount_and_clz():
 
 
 def test_splitmix64_reference_vector():
-    # published SplitMix64 outputs for seed sequence starting at 1234567
+    # published SplitMix64 output for state 1234567 (Vigna's reference impl)
     got = splitmix64(np.array([1234567], dtype=np.uint64))[0]
-    assert got == splitmix64(np.array([1234567], dtype=np.uint64))[0]  # deterministic
+    assert got == 6457827717110365317
     # avalanche sanity: consecutive inputs decorrelate
     a = splitmix64(np.arange(1000, dtype=np.uint64))
     assert len(np.unique(a)) == 1000

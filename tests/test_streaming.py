@@ -1,0 +1,96 @@
+"""Structured Streaming sketch aggregation tests (file source, availableNow)."""
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketches_rust_spark.functions.ddsketch_spark import SketchConfig
+from sketches_rust_spark.functions.ddsketch_sql import ddsketch_aggregate_sql
+from sketches_rust_spark.kernel.sketch import DDSketch
+from sketches_rust_spark.streaming.sketch_stream import (
+    merged_stream_result,
+    stateful_sketch_stream,
+    stream_sketch_partials,
+    windowed_sketch_histogram,
+)
+
+CFG = SketchConfig("logarithmic_unbounded_size_dense_store", 0.01, 0)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """events split into 4 files to simulate stream arrivals."""
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    path = str(tmp_path / "stream_src")
+    src.repartition(4).write.parquet(path)
+    return path
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path))
+
+
+def test_stream_partials_merge_equals_batch(spark, tmp_path, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir).select(
+        "event_type", F.col("value").cast("double").alias("v"))
+    sink = str(tmp_path / "sink")
+    q = stream_sketch_partials(stream, "v", ["event_type"], CFG, sink,
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # one partial blob row per (batch, group)
+    n_batches = len({os.path.basename(f) for f in glob.glob(sink + "/*.parquet")})
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over 4 files -> >= 2 batches
+
+    merged = merged_stream_result(spark, sink, ["event_type"], CFG)
+    got = {r["event_type"]: bytes(r["sketch"]) for r in merged.collect()}
+
+    batch_df = spark.read.parquet(events_stream_dir).select(
+        "event_type", F.col("value").cast("double").alias("v"))
+    want = {r["event_type"]: bytes(r["sketch"]) for r in
+            ddsketch_aggregate_sql(batch_df, "v", ["event_type"], CFG).collect()}
+    assert got == want  # streaming merge-on-read == batch build, byte-identical
+
+
+def test_stateful_sketch_stream(spark, tmp_path, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir).select(
+        F.col("event_type").alias("key"), F.col("value").cast("double").alias("v"))
+    out = stateful_sketch_stream(stream, "v", "key", CFG, quantile=0.9)
+    q = (out.writeStream.format("memory").queryName("running_sketches")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    result = spark.sql(
+        "SELECT key, max(count) AS count FROM running_sketches GROUP BY key")
+    got = {r["key"]: r["count"] for r in result.collect()}
+    want = {r["event_type"]: float(r["n"]) for r in
+            spark.read.parquet(events_stream_dir)
+            .groupBy("event_type").agg(F.count("value").alias("n")).collect()}
+    assert got == want  # final running state saw every row exactly once
+
+
+def test_windowed_histogram_stream(spark, tmp_path, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),  # source is TIMESTAMP_NTZ
+        "event_type", F.col("value").cast("double").alias("v"))
+    hist = windowed_sketch_histogram(stream, "v", ["event_type"], CFG,
+                                     ts_col="ts", window_duration="7 days",
+                                     watermark="0 seconds")
+    q = (hist.writeStream.format("memory").queryName("win_hist")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    total = spark.sql("SELECT CAST(sum(c) AS BIGINT) AS n FROM win_hist").collect()[0]["n"]
+    assert total == spark.read.parquet(events_stream_dir).count()
+    # at least one window per 7-day span and buckets carry counts per group
+    groups = spark.sql("SELECT count(DISTINCT event_type) AS g FROM win_hist").collect()[0]["g"]
+    assert groups == 5
