@@ -120,7 +120,7 @@ probe_cells AS (
          CAST((CAST(h & 4294967295 AS HUGEINT) + CAST(r.i AS HUGEINT) * CAST((h >> 32) | 1 AS HUGEINT)) % {width} AS BIGINT) AS idx
   FROM probe_h, (SELECT unnest(range(0, {depth})) AS i) r
 )
-SELECT p.probe AS probe, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+SELECT CAST(p.probe AS BIGINT) AS probe, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
 FROM probe_cells p LEFT JOIN cells c USING (row_i, idx)
 GROUP BY p.probe
 """
@@ -144,7 +144,7 @@ probe_bits AS (
   FROM (SELECT probe, {ph} AS h FROM (SELECT unnest([{probes_sql}]) AS probe)),
        (SELECT unnest(range(0, {k})) AS i) r
 )
-SELECT probe, CAST(bool_and(pos IN (SELECT pos FROM set_bits)) AS BOOLEAN) AS member
+SELECT CAST(probe AS BIGINT) AS probe, CAST(bool_and(pos IN (SELECT pos FROM set_bits)) AS BOOLEAN) AS member
 FROM probe_bits
 GROUP BY probe
 """

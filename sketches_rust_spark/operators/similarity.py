@@ -57,7 +57,7 @@ def brute_force_topk(df: DataFrame, probes: DataFrame, k: int,
                       F.col(id_col).alias("vec_id"),
                       F.round(cosine(vd, pd_), 6).alias("score")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
 
 
@@ -104,7 +104,7 @@ def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
                          F.col(id_col).alias("vec_id"),
                          F.round(cosine(vd, pd_), 6).alias("score"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
 
 

@@ -103,9 +103,9 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(
         "*",
-        F.length(t).alias("text_len"),
-        token_count(t).alias("n_tokens"),
-        subtoken_count(t).alias("n_subtokens"),
+        F.length(t).cast("long").alias("text_len"),
+        token_count(t).cast("long").alias("n_tokens"),
+        subtoken_count(t).cast("long").alias("n_subtokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(mean_token_length(t), 6).alias("mean_token_len"),
         F.round(quality_score(t), 6).alias("quality"),
