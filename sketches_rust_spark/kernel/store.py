@@ -233,26 +233,22 @@ class DenseStore:
         dense_size += serde.signed_var_long_encoded_length(self.min_index)
         dense_size += serde.signed_var_long_encoded_length(1)
 
-        sparse_size = 0
-        num_non_empty = 0
-        previous_index = 0
-        count_lengths = [serde.var_double_encoded_length(float(c)) for c in counts]
-        for i, c in enumerate(counts):
-            dense_size += count_lengths[i]
-            if c != 0.0:
-                num_non_empty += 1
-                index = self.min_index + i
-                sparse_size += serde.signed_var_long_encoded_length(index - previous_index)
-                sparse_size += count_lengths[i]
-                previous_index = index
+        count_lengths = serde.var_double_encoded_length_array(counts)
+        dense_size += int(count_lengths.sum())
+
+        nz = np.flatnonzero(counts)
+        num_non_empty = int(nz.shape[0])
+        nz_indexes = nz + self.min_index
+        deltas = np.diff(np.concatenate(([0], nz_indexes)))
+        sparse_size = int(count_lengths[nz].sum()) + int(
+            serde.signed_var_long_encoded_length_array(deltas).sum())
 
         if dense_size <= sparse_size:
             buf.append(store_flag_type | (CONTIGUOUS_COUNTS << 2))
             serde.encode_unsigned_var_long(buf, num_bins)
             serde.encode_signed_var_long(buf, self.min_index)
             serde.encode_signed_var_long(buf, 1)
-            for c in counts:
-                serde.encode_var_double(buf, float(c))
+            serde.encode_var_double_array(buf, counts)
         else:
             buf.append(store_flag_type | (INDEX_DELTAS_AND_COUNTS << 2))
             serde.encode_unsigned_var_long(buf, num_non_empty)
@@ -294,6 +290,18 @@ class DenseStore:
             num_bins = serde.decode_unsigned_var_long(inp)
             index = serde.decode_signed_var_long(inp)
             index_delta = serde.decode_signed_var_long(inp)
+            fast = serde.try_decode_var_double_array(inp.buffer(), inp.tell(), num_bins)
+            if fast is not None:
+                values, new_pos = fast
+                inp.seek(new_pos)
+                idx = index + index_delta * np.arange(num_bins, dtype=np.int64)
+                keep = values > 0.0
+                if keep.any():
+                    lo, hi = int(idx[keep].min()), int(idx[keep].max())
+                    serde.i64_to_i32_exact(lo)
+                    serde.i64_to_i32_exact(hi)
+                    self.add_many(idx[keep], values[keep])
+                return
             indexes, cnts = [], []
             for _ in range(num_bins):
                 count = serde.decode_var_double(inp)

@@ -182,6 +182,18 @@ def kll_query(table: str, value_expr: str, groups: list[str],
     return run
 
 
+def per_day_quantile_query():
+    """Per-day grouped sketching (the north star's date_trunc('day', warc_ts)
+    capability) over the events stream table."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, "events").select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("double").alias("_v"))
+        return ddsketch_quantiles_sql(df, "_v", ["day"], {"p50": 0.5, "p99": 0.99},
+                                      _cfg(), round_digits=ROUND_DIGITS)
+    return run
+
+
 def text_features_query():
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .text import text_features
@@ -257,6 +269,7 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "value - 100.0", ["event_type"], _P503),
     "ddsketch_price_by_returnflag": sketch_quantile_query(
         "lineitem", "l_extendedprice", ["l_returnflag"], {"p50": 0.5, "p99": 0.99}),
+    "ddsketch_events_by_day": per_day_quantile_query(),
     "ddsketch_stats_by_lang": sketch_stats_query(
         "documents", "length(text)", ["lang"]),
     "ddsketch_stats_events_centered": sketch_stats_query(
@@ -307,6 +320,9 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "events", "value - 100.0", ["event_type"], _P503, ALPHA),
     "ddsketch_price_by_returnflag": ddsketch_quantile_oracle_sql(
         "lineitem", "l_extendedprice", ["l_returnflag"], {"p50": 0.5, "p99": 0.99}, ALPHA),
+    "ddsketch_events_by_day": ddsketch_quantile_oracle_sql(
+        "(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value FROM events)",
+        "value", ["day"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "ddsketch_stats_by_lang": ddsketch_stats_oracle_sql(
         "documents", "length(text)", ["lang"], ALPHA),
     "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(

@@ -141,3 +141,77 @@ def test_i64_to_i32_exact():
 
 def test_build_double():
     assert serde.build_double(0, 1.0) == 1.0
+
+
+def test_var_double_array_codec_matches_scalar():
+    """Randomized cross-check: batch encode/decode is byte/bit identical to
+    the scalar codec, including 9-byte tokens with MSB-set final bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    cases = np.concatenate([
+        rng.integers(0, 1 << 40, size=2000).astype(np.float64),
+        rng.lognormal(0, 30, size=2000),
+        -rng.lognormal(0, 30, size=500),
+        np.array([0.0, 1.0, -1.0, -0.5, 4.503599627370495e15,
+                  4.503599627370496e15, 9.00719925474099e15]),
+    ])
+    batch = bytearray()
+    serde.encode_var_double_array(batch, cases)
+    scalar = bytearray()
+    for v in cases:
+        serde.encode_var_double(scalar, float(v))
+    assert bytes(batch) == bytes(scalar)
+
+    lens = serde.var_double_encoded_length_array(cases)
+    for v, ln in zip(cases, lens):
+        assert serde.var_double_encoded_length(float(v)) == ln
+
+    # the decode contract: batch decode == scalar decode (the format itself
+    # is lossy below ulp(1.0) — v is stored as bits(v+1.0), same as the
+    # reference — so we compare decoders against each other, not against v)
+    inp = Input(bytes(batch))
+    scalar_decoded = np.array([serde.decode_var_double(inp) for _ in cases])
+    fast = serde.try_decode_var_double_array(bytes(batch), 0, len(cases))
+    if fast is not None:
+        values, pos = fast
+        assert pos == len(batch)
+        np.testing.assert_array_equal(values, scalar_decoded)
+    # integer counts (the real blob content) round-trip exactly
+    ints = rng.integers(0, 1 << 50, size=3000).astype(np.float64)
+    b2 = bytearray()
+    serde.encode_var_double_array(b2, ints)
+    fast2 = serde.try_decode_var_double_array(bytes(b2), 0, len(ints))
+    if fast2 is None:
+        inp2 = Input(bytes(b2))
+        got2 = np.array([serde.decode_var_double(inp2) for _ in ints])
+    else:
+        got2, pos2 = fast2
+        assert pos2 == len(b2)
+    np.testing.assert_array_equal(got2, ints)
+
+
+def test_var_double_array_decode_glue_fallback():
+    """A 9-byte encoding whose 9th byte has the MSB set must be rejected by
+    the fast parser (returns None), never mis-parsed."""
+    import numpy as np
+
+    # -1.0 encodes to 9 bytes ending in 48 (<128): find a value whose last
+    # byte >= 128 by scanning
+    found = None
+    rng = np.random.default_rng(3)
+    for v in rng.lognormal(0, 40, size=20000):
+        buf = bytearray()
+        serde.encode_var_double(buf, float(v))
+        if len(buf) == 9 and buf[8] >= 128:
+            found = float(v)
+            break
+    assert found is not None
+    buf = bytearray()
+    serde.encode_var_double(buf, found)
+    serde.encode_var_double(buf, 1.0)
+    fast = serde.try_decode_var_double_array(bytes(buf), 0, 2)
+    assert fast is None  # glue detected -> caller falls back to scalar
+    inp = Input(bytes(buf))
+    assert serde.decode_var_double(inp) == found
+    assert serde.decode_var_double(inp) == 1.0
