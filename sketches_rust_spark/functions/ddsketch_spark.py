@@ -202,6 +202,46 @@ def ddsketch_aggregate(
     return merge_partials(build_partials(df, value_col, keys, config), keys, config)
 
 
+def ddsketch_aggregate_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: Sequence[str] = (),
+    config: SketchConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Weighted sketch build: each row contributes ``weight`` to its bucket.
+
+    The reference's accept_with_count *ignores* its count argument (quirk Q1,
+    spec sketch.rs:38-56); this implements the documented weighted semantics
+    (non-positive/NaN weights dropped). groupBy+applyInPandas build — use
+    for moderate group counts; at extreme scale pre-aggregate
+    (value, weight-sum) pairs first or extend the histogram path with
+    sum(weight).
+    """
+    keys = list(keys)
+    narrow = df.select(*keys,
+                       F.col(value_col).cast("double").alias("_v"),
+                       F.col(weight_col).cast("double").alias("_w"))
+    out_schema = StructType(
+        _key_fields(narrow, keys)
+        + [StructField(SKETCH_COL, BinaryType(), False),
+           StructField(ROWS_COL, LongType(), False)]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = config.new()
+        sk.accept_many(pdf["_v"].to_numpy(np.float64, na_value=np.nan),
+                       pdf["_w"].to_numpy(np.float64, na_value=np.nan))
+        head = {k: pdf[k].iloc[0] for k in keys}
+        head[SKETCH_COL] = sk.encode()
+        head[ROWS_COL] = len(pdf)
+        return pd.DataFrame([head], columns=keys + [SKETCH_COL, ROWS_COL])
+
+    if keys:
+        return narrow.groupBy(*keys).applyInPandas(build, schema=out_schema)
+    return narrow.groupBy(F.lit(1).alias("_g")).applyInPandas(build, schema=out_schema)
+
+
 def ddsketch_aggregate_salted(
     df: DataFrame,
     value_col: str,

@@ -52,11 +52,14 @@ def ddsketch_quantile_oracle_sql(
     quantiles: dict[str, float],
     alpha: float,
     where: str = "",
+    weight_expr: str = "",
 ) -> str:
     """Full two-sided DDSketch quantile estimate in SQL.
 
     quantiles: {output_column_name: q}. Output columns are rounded to
     ROUND_DIGITS; group columns pass through under their own names.
+    weight_expr: optional per-row weight (weighted insert semantics —
+    non-positive/NaN weights dropped, matching DDSketch.accept_many).
     """
     mult, ra, min_indexed = log_mapping_params(alpha)
     side, idx = _bucket_exprs(mult, min_indexed)
@@ -65,6 +68,15 @@ def ddsketch_quantile_oracle_sql(
     gby = f"GROUP BY {gsel}" if group_cols else ""
     part = f"PARTITION BY {gsel}" if group_cols else ""
     wh = f"AND ({where})" if where else ""
+    if weight_expr:
+        wsel = f"CAST({weight_expr} AS DOUBLE) AS w"
+        wguard = (f"AND {weight_expr} IS NOT NULL "
+                  f"AND CAST({weight_expr} AS DOUBLE) > 0")
+        agg_c = "sum(w)"
+    else:
+        wsel = "1.0 AS w"
+        wguard = ""
+        agg_c = "CAST(count(*) AS DOUBLE)"
     bucket_value = _bucket_value(mult, ra)
     qcols = ",\n       ".join(
         f"round(min(CASE WHEN cum > {q!r} * (n - 1) THEN bv END), {ROUND_DIGITS}) AS {name}"
@@ -72,12 +84,12 @@ def ddsketch_quantile_oracle_sql(
     )
     return f"""
 WITH vals AS (
-  SELECT {gpre}CAST({value_expr} AS DOUBLE) AS v
+  SELECT {gpre}CAST({value_expr} AS DOUBLE) AS v, {wsel}
   FROM {table}
-  WHERE {value_expr} IS NOT NULL AND isfinite(CAST({value_expr} AS DOUBLE)) {wh}
+  WHERE {value_expr} IS NOT NULL AND isfinite(CAST({value_expr} AS DOUBLE)) {wh} {wguard}
 ),
 buckets AS (
-  SELECT {gpre}{side} AS side, {idx} AS idx, CAST(count(*) AS DOUBLE) AS c
+  SELECT {gpre}{side} AS side, {idx} AS idx, {agg_c} AS c
   FROM vals
   GROUP BY {'ALL' if not group_cols else gsel + ', side, idx'}
 ),

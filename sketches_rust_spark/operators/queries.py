@@ -182,6 +182,38 @@ def kll_query(table: str, value_expr: str, groups: list[str],
     return run
 
 
+def weighted_quantile_query(table: str, value_expr: str, weight_expr: str,
+                            groups: list[str], quantiles: dict[str, float],
+                            alpha: float = ALPHA):
+    """Weighted insert (documented semantics of the reference's
+    accept_with_count, which itself ignores the weight — quirk Q1)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.ddsketch_spark import ddsketch_aggregate_weighted
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).alias("_v"), F.expr(weight_expr).alias("_w"))
+        agg = ddsketch_aggregate_weighted(df, "_v", "_w", groups, _cfg(alpha))
+        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(name)
+                for name, q in quantiles.items()]
+        return agg.select(*groups, *cols)
+    return run
+
+
+def cubic_quantile_query(table: str, value_expr: str, groups: list[str],
+                         quantiles: dict[str, float], alpha: float = ALPHA):
+    """LogCubic mapping (bit-extraction log) through the pandas path.
+    Rows-only driver check: the cubic bucket math is not SQL-expressible;
+    accuracy is pinned by golden vectors + error-bound pytest."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v"))
+        cfg = SketchConfig("unbounded_dense", alpha, 0)
+        agg = ddsketch_aggregate(df, "_v", groups, cfg)
+        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(name)
+                for name, q in quantiles.items()]
+        return agg.select(*groups, *cols)
+    return run
+
+
 def per_day_quantile_query():
     """Per-day grouped sketching (the north star's date_trunc('day', warc_ts)
     capability) over the events stream table."""
@@ -270,6 +302,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_price_by_returnflag": sketch_quantile_query(
         "lineitem", "l_extendedprice", ["l_returnflag"], {"p50": 0.5, "p99": 0.99}),
     "ddsketch_events_by_day": per_day_quantile_query(),
+    "ddsketch_weighted_price_by_flag": weighted_quantile_query(
+        "lineitem", "l_extendedprice", "l_quantity", ["l_returnflag"],
+        {"p50": 0.5, "p99": 0.99}),
+    "ddsketch_cubic_textlen_by_lang": cubic_quantile_query(
+        "documents", "length(text)", ["lang"], _P503),
     "ddsketch_stats_by_lang": sketch_stats_query(
         "documents", "length(text)", ["lang"]),
     "ddsketch_stats_events_centered": sketch_stats_query(
@@ -323,6 +360,11 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_events_by_day": ddsketch_quantile_oracle_sql(
         "(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value FROM events)",
         "value", ["day"], {"p50": 0.5, "p99": 0.99}, ALPHA),
+    "ddsketch_weighted_price_by_flag": ddsketch_quantile_oracle_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag"],
+        {"p50": 0.5, "p99": 0.99}, ALPHA, weight_expr="l_quantity"),
+    # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
+    # SQL-expressible; golden vectors + pytest error bounds cover it)
     "ddsketch_stats_by_lang": ddsketch_stats_oracle_sql(
         "documents", "length(text)", ["lang"], ALPHA),
     "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(

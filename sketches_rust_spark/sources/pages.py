@@ -91,7 +91,7 @@ def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = 50_00
     os.makedirs(path, exist_ok=True)
     schema = pa.schema([
         pa.field("url", pa.string()),
-        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),  # tz-aware -> Spark TIMESTAMP (input_hint), not TIMESTAMP_NTZ
         pa.field("html", pa.binary()),
         pa.field("text", pa.string()),
         pa.field("lang", pa.string()),
