@@ -330,6 +330,13 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
     "dedup_minhash_lsh_pairs": minhash_lsh_query(),
     "ann_cosine_topk": ann_topk_query(_ANN_PROBES, k=10),
+    "topk_langs_exact": (lambda spark, sf_dir: __import__(
+        "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
+    ).topk_exact_pruned(load(spark, sf_dir, "documents").repartition(7), "lang", 5)),
+    "topk_partkeys_exact": (lambda spark, sf_dir: __import__(
+        "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
+    ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
+                        "l_partkey", 10, fudge=8)),
     "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
 }
 
@@ -344,6 +351,7 @@ from .dedup import (  # noqa: E402
     ngram_jaccard_oracle_sql,
 )
 from .similarity import brute_force_topk_oracle_sql  # noqa: E402
+from .topk import topk_exact_oracle_sql as topk_oracle  # noqa: E402
 from .text import text_features_oracle_sql  # noqa: E402
 
 DDSKETCH_ORACLES: dict[str, str] = {
@@ -389,5 +397,7 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "(SELECT * FROM documents WHERE doc_id < 1500)", "doc_id", "text",
         16, 3, 8, 2),
     "ann_cosine_topk": brute_force_topk_oracle_sql("embeddings", _ANN_PROBES, 10),
+    "topk_langs_exact": topk_oracle("documents", "lang", 5),
+    "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
     # ann_lsh_topk: rows-only (approximate bucketed search; recall in pytest)
 }

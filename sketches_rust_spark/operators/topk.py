@@ -1,0 +1,111 @@
+"""Heavy hitters / top-k frequent items at scale.
+
+Two operators:
+
+* ``topk_exact_pruned`` — exact global top-k with candidate pruning
+  (threshold-algorithm style): each partition emits its local
+  top-(k*fudge) items, the candidate union is exactly recounted with a
+  semi-join, and the result is VERIFIED: any non-candidate item's total
+  count is bounded by the sum over partitions of each partition's cutoff
+  (its (k*fudge)-th local count). If the k-th recounted candidate beats
+  that bound the top-k is provably exact; otherwise the operator widens
+  the fudge and retries. Zipfian data passes on the first round; at
+  10^12 rows the recount semi-join touches only candidate rows.
+
+* ``topk_cms`` — single-pass approximate: global CMS + per-partition
+  candidate tracking; estimates are CMS point queries (eps*N overestimate
+  bound). Useful when a second pass is impossible (streaming).
+
+The exact variant carries a DuckDB oracle (plain GROUP BY + rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
+                      fudge: int = 4, max_rounds: int = 4) -> DataFrame:
+    """Exact top-k items by count: (item, cnt, rank), ties broken by item.
+
+    Phase 1 aggregates per (partition, item) locally — Catalyst's map-side
+    partial aggregation makes the first groupBy shuffle carry only distinct
+    (partition, item) combos; phase 2 recounts only candidate items; phase 3
+    checks the threshold-algorithm exactness bound and widens the candidate
+    set if it does not hold.
+    """
+    items = df.select(F.col(item_col).alias("item"))
+    with_part = items.withColumn("_p", F.spark_partition_id())
+    local = with_part.groupBy("_p", "item").agg(F.count(F.lit(1)).alias("c"))
+    local.cache()
+    try:
+        for round_ in range(max_rounds):
+            limit = k * fudge * (2 ** round_)
+            w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
+            ranked_local = local.withColumn("_r", F.row_number().over(w))
+            candidates = (ranked_local.where(F.col("_r") <= limit)
+                          .select("item").distinct())
+            # upper bound on any non-candidate item's global count: the sum
+            # of each partition's cutoff count (0 if a partition ran out)
+            cutoffs = (ranked_local.where(F.col("_r") == limit)
+                       .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("b"))
+                       .collect()[0]["b"])
+            recount = (items.join(F.broadcast(candidates), "item", "leftsemi")
+                       .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+            wg = Window.orderBy(F.desc("cnt"), F.asc("item"))
+            top = (recount.withColumn("rank", F.row_number().over(wg).cast("long"))
+                   .where(F.col("rank") <= k)
+                   .select("item", "cnt", "rank"))
+            rows = top.collect()
+            kth = min((r["cnt"] for r in rows), default=0)
+            # exact iff no partition hit the candidate limit (every item is a
+            # candidate) or the k-th candidate strictly beats the best
+            # possible non-candidate total
+            if cutoffs == 0 or (len(rows) == k and kth > cutoffs):
+                spark = df.sparkSession
+                return spark.createDataFrame(rows, schema=top.schema)
+        raise RuntimeError("top-k candidate pruning failed to verify; "
+                           "raise fudge/max_rounds")
+    finally:
+        local.unpersist()
+
+
+def topk_exact_oracle_sql(table: str, item_expr: str, k: int,
+                          where: str = "") -> str:
+    wh = f"WHERE ({where})" if where else ""
+    return f"""
+WITH counted AS (
+  SELECT {item_expr} AS item, count(*) AS cnt FROM {table} {wh} GROUP BY 1
+),
+ranked AS (
+  SELECT item, cnt,
+         row_number() OVER (ORDER BY cnt DESC, item ASC) AS rank
+  FROM counted
+)
+SELECT item, cnt, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def topk_cms(df: DataFrame, item_col: str, k: int,
+             depth: int = 5, width: int = 8192) -> DataFrame:
+    """Single-pass approximate top-k: per-partition candidate top items with
+    CMS-estimated global counts (overestimate-bounded by eps*N)."""
+    from ..functions.sketch_udafs import (
+        cms_adapter, cms_point_estimate, sketch_aggregate)
+
+    hashed = df.select(F.col(item_col).alias("item"),
+                       F.xxhash64(item_col).alias("_h"))
+    cms = sketch_aggregate(hashed, "_h", [], cms_adapter(depth, width, "pre"))
+    with_part = hashed.withColumn("_p", F.spark_partition_id())
+    local = with_part.groupBy("_p", "item", "_h").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
+    candidates = (local.withColumn("_r", F.row_number().over(w))
+                  .where(F.col("_r") <= k * 2)
+                  .select("item", "_h").distinct())
+    est = (candidates.crossJoin(F.broadcast(cms.select("sketch")))
+           .select("item", cms_point_estimate("sketch", "_h").alias("est")))
+    wg = Window.orderBy(F.desc("est"), F.asc("item"))
+    return (est.withColumn("rank", F.row_number().over(wg).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("item", "est", "rank"))

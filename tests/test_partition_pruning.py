@@ -1,0 +1,46 @@
+"""Partition pruning: a day-partitioned pages layout must let Catalyst skip
+non-matching partitions entirely (the Iceberg-table access pattern; hive-
+style parquet partitioning is the sandbox stand-in)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketches_rust_spark.functions.ddsketch_spark import SketchConfig
+from sketches_rust_spark.functions.ddsketch_sql import ddsketch_quantiles_sql
+from sketches_rust_spark.sources.pages import pages_table
+
+CFG = SketchConfig("logarithmic_unbounded_size_dense_store", 0.01, 0)
+
+
+@pytest.fixture(scope="module")
+def partitioned_pages(spark, tmp_path_factory):
+    cache = str(tmp_path_factory.mktemp("pages_cache"))
+    pages = pages_table(spark, 20_000, cache_dir=cache)
+    path = str(tmp_path_factory.mktemp("pages_by_day"))
+    (pages.withColumn("day", F.date_format(F.to_date("warc_ts"), "yyyy-MM-dd"))
+     .write.partitionBy("day").parquet(path, mode="overwrite"))
+    return spark.read.parquet(path)
+
+
+def test_day_filter_prunes_partitions(partitioned_pages):
+    one_day = partitioned_pages.where(F.col("day") == "2025-01-05") \
+        .select("lang", F.length("text").alias("v"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # the data filter list must NOT contain the day predicate (it is
+    # resolved at planning time against the partition index)
+    assert "PushedFilters: []" in plan
+
+
+def test_per_day_sketch_on_pruned_partition_matches_full_scan(spark, partitioned_pages):
+    pruned = partitioned_pages.where(F.col("day") == "2025-01-05").select(
+        "lang", F.length("text").cast("double").alias("v"))
+    full = partitioned_pages.select(
+        "day", "lang", F.length("text").cast("double").alias("v"))
+    a = ddsketch_quantiles_sql(pruned, "v", ["lang"], {"p50": 0.5}, CFG) \
+        .toPandas().set_index("lang")["p50"].to_dict()
+    b = ddsketch_quantiles_sql(full.where(F.col("day") == "2025-01-05"),
+                               "v", ["lang"], {"p50": 0.5}, CFG) \
+        .toPandas().set_index("lang")["p50"].to_dict()
+    assert a == b
