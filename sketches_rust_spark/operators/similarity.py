@@ -87,17 +87,29 @@ def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
 def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
              id_col: str = "vec_id", vec_col: str = "embedding",
              probe_id_col: str = "probe_id", probe_vec_col: str = "probe_vec",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, multi_probe: int = 1) -> DataFrame:
     """Approximate top-k: score only rows whose LSH bucket matches the
-    probe's bucket. At scale the signature column is precomputed/partitioned
-    (bucketed table), turning each query into a single-bucket scan."""
+    probe's bucket (multi-probe: also every bucket within Hamming distance
+    ``multi_probe`` of it — near neighbors most often differ by one
+    hyperplane sign, so probing the 1-flip buckets recovers most of the
+    recall lost to quantization at the cost of nbits extra bucket lookups).
+    At scale the signature column is precomputed/partitioned (bucketed
+    table), turning each query into a few single-bucket scans."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits)
     data_sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
-    probe_sig = probes.withColumn("_psig", lsh_signature_col(F.col(probe_vec_col), planes))
+    base_sig = probes.withColumn("_psig", lsh_signature_col(F.col(probe_vec_col), planes))
+    if multi_probe >= 1:
+        flips = F.array(F.col("_psig"),
+                        *[F.col("_psig").bitwiseXOR(F.lit(1 << b).cast("long"))
+                          for b in range(nbits)])
+        probe_sig = base_sig.withColumn("_psig", F.explode(flips))
+    else:
+        probe_sig = base_sig
     cand = (data_sig.join(F.broadcast(probe_sig), F.col("_sig") == F.col("_psig"))
-            .where(F.col(id_col) != F.col(probe_id_col)))
+            .where(F.col(id_col) != F.col(probe_id_col))
+            .dropDuplicates([probe_id_col, id_col]))
     vd = F.col(vec_col).cast("array<double>")
     pd_ = F.col(probe_vec_col).cast("array<double>")
     scored = cand.select(F.col(probe_id_col).alias("probe_id"),

@@ -143,9 +143,9 @@ def test_lsh_topk_recall(spark, embeddings):
     probes = make_probes(spark, embeddings, [0, 1, 2, 3])
     exact = brute_force_topk(embeddings, probes, k=10).toPandas()
     approx = lsh_topk(embeddings, probes, k=10, nbits=4).toPandas()
-    # with 4 bits (16 buckets) the probe's bucket holds ~1/16 of rows; the
-    # top-1 exact neighbor should usually share the bucket. Require recall@10
-    # of the exact top-3 to be > 0.25 overall (sanity, not a tight bound).
+    # with 4 bits + multi-probe (the probe bucket and its 4 one-flip
+    # neighbors, ~5/16 of rows scanned) the exact top-3 should mostly
+    # surface. Require recall > 0.5 overall.
     hits = 0
     total = 0
     for pid in (0, 1, 2, 3):
@@ -153,7 +153,7 @@ def test_lsh_topk_recall(spark, embeddings):
         ap = set(approx[approx.probe_id == pid]["vec_id"])
         hits += len(ex & ap)
         total += len(ex)
-    assert hits / max(total, 1) >= 0.25
+    assert hits / max(total, 1) >= 0.5
     # every approx result is a real row with a valid score
     assert ((approx["score"] <= 1.000001) & (approx["score"] >= -1.000001)).all()
 
