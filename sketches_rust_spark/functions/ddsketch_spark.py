@@ -24,7 +24,6 @@ engine, sketches-rust, and sketches-java.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -368,7 +367,3 @@ def register_sql_functions(spark: SparkSession, config: SketchConfig = DEFAULT_C
     spark.udf.register("ddsketch_merge", make_merge_udaf(config))
     spark.udf.register("ddsketch_build", make_build_udaf(config))
 
-
-@functools.lru_cache(maxsize=None)
-def _cached_mapping(preset: str, relative_accuracy: float):
-    return SketchConfig(preset, relative_accuracy).new().index_mapping
