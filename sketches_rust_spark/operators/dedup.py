@@ -283,6 +283,54 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
             .select("id_a", "id_b", "hamming"))
 
 
+# -- near-dup clustering + canonical selection ------------------------------------------------
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs via iterative min-label
+    propagation: (_id, cluster) where cluster = min doc id in the component.
+
+    Each iteration is two broadcast-free joins; convergence takes
+    O(component diameter) rounds — near-dup clusters are shallow (dup
+    clusters link through shared content), so a small cap suffices and the
+    loop stops early at fixpoint. This is the standard scalable CC shape
+    (no driver-side union-find)."""
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("_id")).distinct()
+              .withColumn("cluster", F.col("_id")))
+    edges = edges.cache()
+    labels = labels.cache()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (edges.join(labels, edges.dst == labels._id)
+                            .groupBy("src").agg(F.min("cluster").alias("nmin")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels._id == neighbor_min.src, "left")
+                          .select(labels._id,
+                                  F.least("cluster", "nmin").alias("cluster"))
+                          ).cache()
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "_id")
+                       .where(F.col("n.cluster") != F.col("o.cluster")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("_id", "cluster")
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop every near-dup except the canonical (minimum-id) member of each
+    cluster; rows in no cluster are kept unchanged."""
+    clusters = near_dup_clusters(pairs)
+    drop = (clusters.where(F.col("_id") != F.col("cluster"))
+            .select(F.col("_id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
+
+
 # -- oracles ----------------------------------------------------------------------------------
 
 def exact_dup_stats_oracle_sql(table: str, text_col: str = "text") -> str:

@@ -178,3 +178,53 @@ def test_multimodal_frame_sampling(spark):
     frames = sample_video_frames(media, every_nth=10, fake=True).toPandas()
     assert (frames["frame_idx"] % 10 == 0).all()
     assert frames.groupby("media_id").size().min() >= 1
+
+
+def test_near_dup_clustering_and_canonical_dedup(spark):
+    """Connected components + canonical selection vs a reference union-find."""
+    from sketches_rust_spark.operators.dedup import (
+        dedup_keep_canonical, near_dup_clusters)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        ["id_a", "id_b"])
+    got = {r["_id"]: r["cluster"] for r in near_dup_clusters(pairs).collect()}
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[4] == 1 and got[23] == 20  # chains collapse to min id
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 23, 99]],
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # canonical member per cluster + singleton
+
+
+def test_end_to_end_minhash_dedup(spark, near_dup_corpus):
+    """The full near-dedup pipeline: minhash -> LSH -> clusters -> canonical."""
+    from sketches_rust_spark.operators.dedup import dedup_keep_canonical
+
+    sigs = minhash_signatures(near_dup_corpus, num_perm=16, shingle_k=3)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    est = minhash_jaccard_estimate(sigs, cand).where("est >= 0.5") \
+        .select("id_a", "id_b")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_canonical(near_dup_corpus, est).collect())
+    assert 0 in kept and 1 not in kept  # exact dup collapsed to canonical 0
+    assert 4 in kept                    # unrelated doc untouched
