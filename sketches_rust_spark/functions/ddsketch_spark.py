@@ -212,12 +212,21 @@ def ddsketch_aggregate_weighted(
 
     The reference's accept_with_count *ignores* its count argument (quirk Q1,
     spec sketch.rs:38-56); this implements the documented weighted semantics
-    (non-positive/NaN weights dropped). groupBy+applyInPandas build — use
-    for moderate group counts; at extreme scale pre-aggregate
-    (value, weight-sum) pairs first or extend the histogram path with
-    sum(weight).
+    (non-positive/NaN weights dropped).
+
+    LOG presets ride the native histogram path: bucket + sum(weight) as a
+    Tungsten hash aggregate (map-side partial_sum, shuffle bounded by
+    groups x buckets — no raw row ever crosses the shuffle or the Arrow
+    boundary), then blob assembly over the tiny histogram. LogCubic presets
+    (bucket math not SQL-expressible) fall back to a groupBy+applyInPandas
+    build; prefer LOG at scale.
     """
+    from .ddsketch_sql import _LOG_PRESETS, ddsketch_aggregate_sql
+
     keys = list(keys)
+    if config.preset in _LOG_PRESETS:
+        return ddsketch_aggregate_sql(df, value_col, keys, config,
+                                      weight_col=weight_col)
     narrow = df.select(*keys,
                        F.col(value_col).cast("double").alias("_v"),
                        F.col(weight_col).cast("double").alias("_w"))

@@ -88,17 +88,32 @@ def ddsketch_histogram(
     value_col: str,
     keys: Sequence[str] = (),
     config: SketchConfig = SketchConfig("logarithmic_collapsing_lowest_dense", 0.01, 2048),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(keys..., side, idx, c): the sketch as a relational histogram, computed
     by a native hash aggregate. This IS the partial+final aggregation — done
-    by Tungsten with map-side combine, no UDF in the per-row path."""
+    by Tungsten with map-side combine, no UDF in the per-row path.
+
+    weight_col: optional per-row insert weight (weighted accept semantics —
+    null/NaN/non-positive weights drop the row, matching
+    DDSketch.accept_many). c becomes sum(weight) instead of count, still a
+    single Tungsten partial_sum before the only exchange — no raw rows ever
+    shuffle.
+    """
     keys = list(keys)
     v = F.col(value_col)
     side, idx = bucket_columns(v, config)
+    filtered = df.where(value_guard(v, config))
+    if weight_col is None:
+        c = F.count(F.lit(1)).cast("double")
+    else:
+        w = F.col(weight_col).cast("double")
+        filtered = filtered.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        c = F.sum(w)
     return (
-        df.where(value_guard(v, config))
+        filtered
         .groupBy(*keys, side.alias("side"), idx.alias("idx"))
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .agg(c.alias("c"))
     )
 
 
@@ -149,11 +164,30 @@ def ddsketch_aggregate_sql(
     value_col: str,
     keys: Sequence[str] = (),
     config: SketchConfig = SketchConfig("logarithmic_collapsing_lowest_dense", 0.01, 2048),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Native-speed sketch aggregation: histogram in Tungsten, blob in Python.
-    Same output contract as ddsketch_aggregate: (keys..., sketch, rows_in)."""
-    return blobs_from_histogram(ddsketch_histogram(df, value_col, keys, config),
-                                keys, config)
+    Same output contract as ddsketch_aggregate: (keys..., sketch, rows_in).
+    With weight_col, rows_in is the (integral part of the) total inserted
+    weight — i.e. the sketch count, matching DDSketch.get_count()."""
+    return blobs_from_histogram(
+        ddsketch_histogram(df, value_col, keys, config, weight_col), keys, config)
+
+
+def _require_unbounded(config: SketchConfig) -> DDSketch:
+    """Walk helpers (stats/quantiles over the raw histogram) do not apply the
+    collapsing fold, so results would diverge from the blob path for
+    collapsing presets once the bucket cap triggers. Restrict to unbounded
+    presets (use blobs_from_histogram + the quantile UDF for collapsing)."""
+    proto = _require_log_mapping(config)
+    if "collapsing" in config.preset:
+        raise ValueError(
+            "ddsketch_stats_sql/ddsketch_quantiles_sql compute over the raw "
+            "uncollapsed histogram; collapsing presets would diverge from the "
+            "blob path once max_num_bins triggers. Use the "
+            "'logarithmic_unbounded_size_dense_store' preset here, or build "
+            "blobs via ddsketch_aggregate_sql and extract with the UDFs.")
+    return proto
 
 
 def ddsketch_stats_sql(
@@ -162,14 +196,15 @@ def ddsketch_stats_sql(
     keys: Sequence[str],
     config: SketchConfig = SketchConfig("logarithmic_unbounded_size_dense_store", 0.01, 0),
     round_digits: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fully-JVM sketch statistics from the histogram: exact count plus
     estimated sum/avg/min/max (spec sketch.rs:70-133 semantics: min/max are
     the representative values of the extreme buckets)."""
-    proto = _require_log_mapping(config)
+    proto = _require_unbounded(config)
     m = proto.index_mapping
     keys = list(keys)
-    hist = ddsketch_histogram(df, value_col, keys, config)
+    hist = ddsketch_histogram(df, value_col, keys, config, weight_col)
     bucket_value = (
         F.when(F.col("side") == 0, F.lit(0.0))
         .otherwise(F.col("side") * F.exp(F.col("idx") / F.lit(m.multiplier))
@@ -222,6 +257,7 @@ def ddsketch_quantiles_sql(
     quantiles: dict[str, float],
     config: SketchConfig = SketchConfig("logarithmic_unbounded_size_dense_store", 0.01, 0),
     round_digits: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fully-JVM DDSketch quantiles: histogram + window-function bucket walk.
 
@@ -229,18 +265,27 @@ def ddsketch_quantiles_sql(
     negative store by descending index, zero bucket, positive store ascending;
     first bucket whose cumulative count exceeds rank = q*(n-1) (spec
     sketch.rs:135-171). Representative value = lower_bound*(1+ra).
+
+    weight_col: weighted quantiles — rank runs over cumulative weight. The
+    whole weighted build stays in Tungsten (sum(weight) partial aggregate);
+    no raw row ever crosses a shuffle or the Arrow boundary.
     """
     from pyspark.sql import Window
 
-    proto = _require_log_mapping(config)
+    proto = _require_unbounded(config)
     m = proto.index_mapping
     keys = list(keys)
-    hist = ddsketch_histogram(df, value_col, keys, config)
+    hist = ddsketch_histogram(df, value_col, keys, config, weight_col)
 
     walk_order = F.col("side").asc(), F.when(
         F.col("side") == -1, -F.col("idx")).otherwise(F.col("idx")).asc()
-    w_cum = Window.partitionBy(*keys).orderBy(*walk_order)
-    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    # ungrouped: partition by a constant — the window input is the bounded
+    # histogram (<= #buckets rows, ~2k at alpha=0.01), so a single-reducer
+    # window is fine; the constant partition key keeps WindowExec from
+    # logging its "No Partition Defined" warning on every run.
+    part = list(keys) if keys else [F.lit(1)]
+    w_cum = Window.partitionBy(*part).orderBy(*walk_order)
+    w_all = Window.partitionBy(*part)
 
     bucket_value = (
         F.when(F.col("side") == 0, F.lit(0.0))

@@ -186,15 +186,14 @@ def weighted_quantile_query(table: str, value_expr: str, weight_expr: str,
                             groups: list[str], quantiles: dict[str, float],
                             alpha: float = ALPHA):
     """Weighted insert (documented semantics of the reference's
-    accept_with_count, which itself ignores the weight — quirk Q1)."""
+    accept_with_count, which itself ignores the weight — quirk Q1).
+    Fully-JVM plan: bucket + sum(weight) Tungsten hash aggregate, then the
+    window quantile walk over cumulative weight — no Python operator."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.ddsketch_spark import ddsketch_aggregate_weighted
         df = load(spark, sf_dir, table).select(
             *groups, F.expr(value_expr).alias("_v"), F.expr(weight_expr).alias("_w"))
-        agg = ddsketch_aggregate_weighted(df, "_v", "_w", groups, _cfg(alpha))
-        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(name)
-                for name, q in quantiles.items()]
-        return agg.select(*groups, *cols)
+        return ddsketch_quantiles_sql(df, "_v", groups, quantiles, _cfg(alpha),
+                                      round_digits=ROUND_DIGITS, weight_col="_w")
     return run
 
 

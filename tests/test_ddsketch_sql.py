@@ -108,3 +108,86 @@ def test_sql_plan_is_native_hash_aggregate(spark, documents):
     assert "Python" not in plan     # no per-row Python anywhere
     assert "PushedFilters: [IsNotNull" in plan  # filter reached the scan
     assert "ReadSchema: struct<text:string,lang:string>" in plan  # pruned scan
+
+
+def test_weighted_histogram_matches_pandas_weighted_build(spark):
+    """LOG weighted build (Tungsten sum(weight)) must agree with the kernel's
+    accept_many(weights) within alpha, and count must equal the weight sum."""
+    import pandas as pd
+
+    from sketches_rust_spark.functions.ddsketch_spark import (
+        ddsketch_aggregate_weighted,
+    )
+    from sketches_rust_spark.kernel.sketch import DDSketch as K
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 3, 5000).astype(str),
+        "v": np.exp(rng.normal(4, 1.5, 5000)),
+        "w": rng.integers(1, 10, 5000).astype(np.float64),
+    })
+    # sprinkle dropped weights: null, NaN, zero, negative
+    pdf.loc[0, "w"] = None
+    pdf.loc[1, "w"] = float("nan")
+    pdf.loc[2, "w"] = 0.0
+    pdf.loc[3, "w"] = -2.0
+    df = spark.createDataFrame(pdf)
+
+    rows = ddsketch_aggregate_weighted(df, "v", "w", ["g"], CFG).collect()
+    alpha = CFG.new().index_mapping.relative_accuracy
+    for r in rows:
+        sk = DDSketch.decode(bytes(r["sketch"]))
+        sub = pdf[pdf["g"] == r["g"]]
+        ref = K.preset(CFG.preset, CFG.relative_accuracy, CFG.max_num_bins)
+        ref.accept_many(sub["v"].to_numpy(np.float64),
+                        sub["w"].to_numpy(np.float64, na_value=np.nan))
+        assert sk.get_count() == pytest.approx(ref.get_count())
+        for q in (0.1, 0.5, 0.9, 0.99):
+            va = sk.get_value_at_quantile(q)
+            vb = ref.get_value_at_quantile(q)
+            assert abs(va - vb) <= 2 * alpha * abs(vb), (r["g"], q, va, vb)
+
+
+def test_weighted_histogram_plan_is_native(spark, documents):
+    """The weighted build's per-row path must be a Tungsten hash aggregate
+    with map-side partial_sum(weight) — no raw-row shuffle, no Python."""
+    df = documents.select(
+        "lang",
+        F.length("text").cast("double").alias("v"),
+        (F.col("n_chars") % 5 + 1).cast("double").alias("w"))
+    hist = ddsketch_histogram(df, "v", ["lang"], CFG, weight_col="w")
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan   # map-side combine of weights
+    assert "Python" not in plan
+
+
+def test_weighted_quantiles_sql_partition_invariant(spark):
+    """Weighted quantile walk result must not depend on partitioning
+    (mergeability evidence for the histogram path)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "v": np.exp(rng.normal(4, 1.5, 3000)),
+        "w": rng.integers(1, 6, 3000).astype(np.float64),
+    })
+    df1 = spark.createDataFrame(pdf).repartition(1)
+    df17 = spark.createDataFrame(pdf).repartition(17)
+    qs = {"p50": 0.5, "p99": 0.99}
+    a = ddsketch_quantiles_sql(df1, "v", [], qs, CFG, weight_col="w").collect()[0]
+    b = ddsketch_quantiles_sql(df17, "v", [], qs, CFG, weight_col="w").collect()[0]
+    assert (a["p50"], a["p99"]) == (b["p50"], b["p99"])
+
+
+def test_walk_helpers_reject_collapsing_presets(spark, documents):
+    """stats/quantiles walk the raw histogram and never apply the collapse
+    fold — collapsing presets must be rejected rather than silently diverge
+    from the blob path."""
+    from sketches_rust_spark.functions.ddsketch_sql import ddsketch_stats_sql
+
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    with pytest.raises(ValueError, match="collapsing"):
+        ddsketch_quantiles_sql(df, "v", ["lang"], {"p50": 0.5}, CFG_COLLAPSING)
+    with pytest.raises(ValueError, match="collapsing"):
+        ddsketch_stats_sql(df, "v", ["lang"], CFG_COLLAPSING)
