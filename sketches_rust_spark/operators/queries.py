@@ -272,14 +272,16 @@ def ann_topk_query(probe_ids: list[int], k: int = 10):
     return run
 
 
-def ann_lsh_query(probe_ids: list[int], k: int = 10, nbits: int = 6):
-    """Rows-only driver check (bucketed approximate search); recall is
-    covered by pytest against the exact top-k."""
+def ann_lsh_query(probe_ids: list[int], k: int = 10, nbits: int = 6,
+                  dim: int = 64):
+    """Bucketed approximate search with an exact DuckDB oracle: the
+    hyperplanes are SplitMix64 signs, so bucket assignment + scoring is
+    fully SQL-reproducible. Recall vs exact top-k is covered in pytest."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .similarity import lsh_topk, make_probes
         emb = load(spark, sf_dir, "embeddings")
         probes = make_probes(spark, emb, probe_ids)
-        return lsh_topk(emb, probes, k=k, nbits=nbits)
+        return lsh_topk(emb, probes, k=k, nbits=nbits, dim=dim)
     return run
 
 
@@ -349,7 +351,10 @@ from .dedup import (  # noqa: E402
     minhash_lsh_oracle_sql,
     ngram_jaccard_oracle_sql,
 )
-from .similarity import brute_force_topk_oracle_sql  # noqa: E402
+from .similarity import (  # noqa: E402
+    brute_force_topk_oracle_sql,
+    lsh_topk_oracle_sql,
+)
 from .topk import topk_exact_oracle_sql as topk_oracle  # noqa: E402
 from .text import text_features_oracle_sql  # noqa: E402
 
@@ -398,5 +403,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "ann_cosine_topk": brute_force_topk_oracle_sql("embeddings", _ANN_PROBES, 10),
     "topk_langs_exact": topk_oracle("documents", "lang", 5),
     "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
-    # ann_lsh_topk: rows-only (approximate bucketed search; recall in pytest)
+    "ann_lsh_topk": lsh_topk_oracle_sql(
+        "embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
 }

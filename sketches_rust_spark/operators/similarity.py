@@ -71,39 +71,87 @@ def hyperplanes(dim: int, nbits: int) -> np.ndarray:
 
 def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
     """nbits-bit signature as a long: bit b = 1 iff dot(vec, plane_b) > 0.
-    Pure expression (sum of +-vec components), JVM-side."""
+    Pure expression (sum of +-vec components), JVM-side.
+
+    Plan size: the coefficients travel as ONE array literal per bit
+    (F.lit(list) -> a single Literal node), so the expression tree is
+    O(nbits) nodes regardless of dim — no nbits x dim literal blowup at
+    real embedding widths (768-dim x 16 bits is 16 nodes, not 12k)."""
     nbits, dim = planes.shape
+    flat = F.lit([float(c) for c in planes.reshape(-1)])
+    vd = vec.cast("array<double>")
     sig = F.lit(0).cast("long")
     for b in range(nbits):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[b]])
-        dot = F.aggregate(F.zip_with(vec.cast("array<double>"), coeffs,
-                                     lambda x, y: x * y),
+        coeffs = F.slice(flat, b * dim + 1, dim)
+        dot = F.aggregate(F.zip_with(vd, coeffs, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, v: acc + v)
         sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)
                            ).otherwise(F.lit(0).cast("long"))
     return sig
 
 
+def probe_masks(nbits: int, multi_probe: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance ``multi_probe`` of
+    a signature (including the signature itself, mask 0)."""
+    import itertools
+    masks = [0]
+    for d in range(1, multi_probe + 1):
+        for combo in itertools.combinations(range(nbits), d):
+            masks.append(sum(1 << b for b in combo))
+    return masks
+
+
+def with_lsh_signature(df: DataFrame, vec_col: str, dim: int, nbits: int,
+                       sig_col: str = "_sig") -> DataFrame:
+    """Attach the deterministic LSH signature column. Precompute this once
+    and persist (see write_bucketed_signatures) so each ANN query becomes a
+    few single-bucket lookups instead of a full-table signature pass."""
+    planes = hyperplanes(dim, nbits)
+    return df.withColumn(sig_col, lsh_signature_col(F.col(vec_col), planes))
+
+
+def write_bucketed_signatures(df: DataFrame, path: str, table: str,
+                              vec_col: str, dim: int, nbits: int,
+                              num_buckets: int = 256) -> None:
+    """Persist the corpus with precomputed signatures, bucketed+sorted by
+    signature: probe joins against the saved table are co-located by bucket
+    (no shuffle of the corpus side), which is the 10^12-row query shape."""
+    (with_lsh_signature(df, vec_col, dim, nbits)
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(num_buckets, "_sig").sortBy("_sig")
+     .option("path", path).saveAsTable(table))
+
+
 def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
              id_col: str = "vec_id", vec_col: str = "embedding",
              probe_id_col: str = "probe_id", probe_vec_col: str = "probe_vec",
-             dim: int | None = None, multi_probe: int = 1) -> DataFrame:
+             dim: int | None = None, multi_probe: int = 1,
+             sig_col: str | None = None) -> DataFrame:
     """Approximate top-k: score only rows whose LSH bucket matches the
-    probe's bucket (multi-probe: also every bucket within Hamming distance
-    ``multi_probe`` of it — near neighbors most often differ by one
-    hyperplane sign, so probing the 1-flip buckets recovers most of the
-    recall lost to quantization at the cost of nbits extra bucket lookups).
-    At scale the signature column is precomputed/partitioned (bucketed
-    table), turning each query into a few single-bucket scans."""
+    probe's bucket, plus every bucket within Hamming distance
+    ``multi_probe`` of it (near neighbors most often differ by a few
+    hyperplane signs; probing the flip buckets recovers recall lost to
+    quantization at the cost of sum_d C(nbits, d) extra bucket lookups).
+
+    dim must be given explicitly (array columns carry no length in the
+    schema, and inferring it would run a driver-side job inside query
+    construction). sig_col: name of a precomputed signature column on df
+    (see with_lsh_signature / write_bucketed_signatures) — pass it at scale
+    so the corpus-side signature pass happens once, not per query."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (the embedding width); array schemas "
+            "carry no length and inferring it would run a driver-side job")
     planes = hyperplanes(dim, nbits)
-    data_sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    if sig_col is None:
+        data_sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    else:
+        data_sig = df.withColumn("_sig", F.col(sig_col))
     base_sig = probes.withColumn("_psig", lsh_signature_col(F.col(probe_vec_col), planes))
-    if multi_probe >= 1:
-        flips = F.array(F.col("_psig"),
-                        *[F.col("_psig").bitwiseXOR(F.lit(1 << b).cast("long"))
-                          for b in range(nbits)])
+    masks = probe_masks(nbits, multi_probe)
+    if len(masks) > 1:
+        flips = F.array(*[F.col("_psig").bitwiseXOR(F.lit(m).cast("long"))
+                          for m in masks])
         probe_sig = base_sig.withColumn("_psig", F.explode(flips))
     else:
         probe_sig = base_sig
@@ -128,6 +176,71 @@ def make_probes(spark: SparkSession, df: DataFrame, probe_ids: list[int],
 
 
 # -- DuckDB oracle ----------------------------------------------------------------
+
+def lsh_topk_oracle_sql(table: str, probe_ids: list[int], k: int,
+                        nbits: int, dim: int, multi_probe: int = 1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """Exact oracle for lsh_topk: rebuilds the hyperplanes from SplitMix64
+    (sign = top bit of splitmix64(b*dim + j), see hyperplanes()) via the
+    HUGEINT-limb SQL port, folds the per-bit dot products in the same
+    sequential order as F.aggregate, reproduces the multi-probe bucket set,
+    and scores candidates with the brute-force cosine CTE."""
+    from ..functions.sibling_oracle import splitmix64_sql
+
+    sm = splitmix64_sql("CAST(bj AS UBIGINT)")
+    probes = ", ".join(str(int(p)) for p in probe_ids)
+    masks = ", ".join(str(m) for m in probe_masks(nbits, multi_probe))
+    return f"""
+WITH planes AS (
+  SELECT bj // {dim} AS b, bj % {dim} AS j,
+         CASE WHEN ({sm}) >= 9223372036854775808 THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {nbits * dim})) AS bj)
+),
+planes_list AS (SELECT b, list(w ORDER BY j) AS ws FROM planes GROUP BY b),
+sigs AS (
+  SELECT d.{id_col} AS vid,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(range(1, {dim} + 1),
+                                i -> CAST(d.{vec_col}[i] AS DOUBLE) * p.ws[i]),
+                 (a, b) -> a + b) > 0
+               THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} d, planes_list p
+  GROUP BY d.{id_col}
+),
+probe_buckets AS (
+  SELECT s.vid AS probe_id, xor(s.sig, m.mask) AS bsig
+  FROM sigs s, (SELECT unnest([{masks}]) AS mask) m
+  WHERE s.vid IN ({probes})
+),
+cand AS (
+  SELECT DISTINCT pb.probe_id, s.vid AS vec_id
+  FROM probe_buckets pb JOIN sigs s ON s.sig = pb.bsig
+  WHERE s.vid <> pb.probe_id
+),
+pv AS (
+  SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {table} WHERE {id_col} IN ({probes})
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(
+           list_reduce(list_transform(range(1, len(d.{vec_col}) + 1),
+                       i -> CAST(d.{vec_col}[i] AS DOUBLE) * pv.v[i]), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(CAST(d.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(pv.v, x -> x * x), (a, b) -> a + b))), 6) AS score
+  FROM cand c
+  JOIN {table} d ON d.{id_col} = c.vec_id
+  JOIN pv ON pv.pid = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
 
 def brute_force_topk_oracle_sql(table: str, probe_ids: list[int], k: int,
                                 id_col: str = "vec_id",

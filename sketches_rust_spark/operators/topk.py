@@ -53,18 +53,29 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
                        .collect()[0]["b"])
             recount = (items.join(F.broadcast(candidates), "item", "leftsemi")
                        .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
-            wg = Window.orderBy(F.desc("cnt"), F.asc("item"))
-            top = (recount.withColumn("rank", F.row_number().over(wg).cast("long"))
-                   .where(F.col("rank") <= k)
+            # global top-k as orderBy+limit -> TakeOrderedAndProject (each
+            # task keeps its local k, the driver merges k-heaps) — never an
+            # unpartitioned window over all candidates. The rank window then
+            # sees at most k rows; the constant partition key keeps the input
+            # bounded-by-construction case off WindowExec's no-partition
+            # warning path.
+            wk = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("item"))
+            top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+                   .withColumn("rank", F.row_number().over(wk).cast("long"))
                    .select("item", "cnt", "rank"))
+            # exactness proof: only the k result rows + the scalar bound
+            # cross to the driver
             rows = top.collect()
             kth = min((r["cnt"] for r in rows), default=0)
             # exact iff no partition hit the candidate limit (every item is a
             # candidate) or the k-th candidate strictly beats the best
             # possible non-candidate total
             if cutoffs == 0 or (len(rows) == k and kth > cutoffs):
-                spark = df.sparkSession
-                return spark.createDataFrame(rows, schema=top.schema)
+                # return the lazy plan (re-executes the bounded recount on
+                # the caller's action; candidate derivation is deterministic
+                # for a fixed input). Callers doing repeated actions should
+                # .cache() the result.
+                return top
         raise RuntimeError("top-k candidate pruning failed to verify; "
                            "raise fudge/max_rounds")
     finally:
@@ -90,12 +101,21 @@ SELECT item, cnt, rank FROM ranked WHERE rank <= {k}
 def topk_cms(df: DataFrame, item_col: str, k: int,
              depth: int = 5, width: int = 8192) -> DataFrame:
     """Single-pass approximate top-k: per-partition candidate top items with
-    CMS-estimated global counts (overestimate-bounded by eps*N)."""
+    CMS-estimated global counts (overestimate-bounded by eps*N).
+
+    Items hash through the portable md5 base hash (dedup._base_hash), so the
+    CMS counters — and therefore the estimates — are exactly reproducible in
+    the DuckDB oracle (``topk_cms_oracle_sql``). The result is deterministic
+    (partitioning-independent) whenever every partition holds at most 2k
+    distinct items, since then every present item is a candidate everywhere;
+    the oracled driver query satisfies this by construction (5 langs, k>=3).
+    """
     from ..functions.sketch_udafs import (
         cms_adapter, cms_point_estimate, sketch_aggregate)
+    from .dedup import _base_hash
 
-    hashed = df.select(F.col(item_col).alias("item"),
-                       F.xxhash64(item_col).alias("_h"))
+    hashed = df.select(F.col(item_col).cast("string").alias("item"))
+    hashed = hashed.withColumn("_h", _base_hash(F.col("item")))
     cms = sketch_aggregate(hashed, "_h", [], cms_adapter(depth, width, "pre"))
     with_part = hashed.withColumn("_p", F.spark_partition_id())
     local = with_part.groupBy("_p", "item", "_h").agg(F.count(F.lit(1)).alias("c"))
@@ -105,7 +125,45 @@ def topk_cms(df: DataFrame, item_col: str, k: int,
                   .select("item", "_h").distinct())
     est = (candidates.crossJoin(F.broadcast(cms.select("sketch")))
            .select("item", cms_point_estimate("sketch", "_h").alias("est")))
-    wg = Window.orderBy(F.desc("est"), F.asc("item"))
-    return (est.withColumn("rank", F.row_number().over(wg).cast("long"))
-            .where(F.col("rank") <= k)
+    # rank window input is bounded (<= partitions * 2k candidates, <= k after
+    # the limit); constant partition key avoids the no-partition warning
+    wg = Window.partitionBy(F.lit(1)).orderBy(F.desc("est"), F.asc("item"))
+    return (est.orderBy(F.desc("est"), F.asc("item")).limit(k)
+            .withColumn("rank", F.row_number().over(wg).cast("long"))
             .select("item", "est", "rank"))
+
+
+def topk_cms_oracle_sql(table: str, item_expr: str, k: int,
+                        depth: int, width: int) -> str:
+    """Exact DuckDB replica of topk_cms: same md5 base hash, same
+    Kirsch-Mitzenmacher cells, same min-over-rows point estimate — assumes
+    every distinct item is a candidate (see topk_cms determinism note)."""
+    idx = ("CAST((CAST(h & 4294967295 AS HUGEINT) + CAST(r.i AS HUGEINT) * "
+           f"CAST((h >> 32) | 1 AS HUGEINT)) % {width} AS BIGINT)")
+    return f"""
+WITH hashed AS (
+  SELECT CAST({item_expr} AS VARCHAR) AS item,
+         CAST(concat('0x', substr(md5(CAST({item_expr} AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+  FROM {table}
+),
+cells AS (
+  SELECT r.i AS row_i, {idx} AS idx, count(*) AS c
+  FROM hashed, (SELECT unnest(range(0, {depth})) AS i) r
+  GROUP BY 1, 2
+),
+items AS (SELECT DISTINCT item, h FROM hashed),
+probe_cells AS (
+  SELECT item, r.i AS row_i, {idx} AS idx
+  FROM items, (SELECT unnest(range(0, {depth})) AS i) r
+),
+ests AS (
+  SELECT item, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+  FROM probe_cells p LEFT JOIN cells c USING (row_i, idx)
+  GROUP BY item
+),
+ranked AS (
+  SELECT item, est, row_number() OVER (ORDER BY est DESC, item ASC) AS rank
+  FROM ests
+)
+SELECT item, est, rank FROM ranked WHERE rank <= {k}
+"""

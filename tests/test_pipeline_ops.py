@@ -142,7 +142,7 @@ def test_brute_force_topk(spark, embeddings):
 def test_lsh_topk_recall(spark, embeddings):
     probes = make_probes(spark, embeddings, [0, 1, 2, 3])
     exact = brute_force_topk(embeddings, probes, k=10).toPandas()
-    approx = lsh_topk(embeddings, probes, k=10, nbits=4).toPandas()
+    approx = lsh_topk(embeddings, probes, k=10, nbits=4, dim=64).toPandas()
     # with 4 bits + multi-probe (the probe bucket and its 4 one-flip
     # neighbors, ~5/16 of rows scanned) the exact top-3 should mostly
     # surface. Require recall > 0.5 overall.
@@ -228,3 +228,83 @@ def test_end_to_end_minhash_dedup(spark, near_dup_corpus):
                   dedup_keep_canonical(near_dup_corpus, est).collect())
     assert 0 in kept and 1 not in kept  # exact dup collapsed to canonical 0
     assert 4 in kept                    # unrelated doc untouched
+
+
+def test_lsh_requires_dim(spark, embeddings):
+    from sketches_rust_spark.operators.similarity import make_probes
+
+    probes = make_probes(spark, embeddings, [0])
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(embeddings, probes, k=5, nbits=4)
+
+
+def test_probe_masks_cover_requested_distance():
+    from math import comb
+
+    from sketches_rust_spark.operators.similarity import probe_masks
+
+    for nbits, d in [(6, 1), (6, 2), (8, 3)]:
+        masks = probe_masks(nbits, d)
+        assert len(masks) == sum(comb(nbits, i) for i in range(d + 1))
+        assert all(bin(m).count("1") <= d for m in masks)
+        assert len(set(masks)) == len(masks)
+
+
+def test_lsh_multi_probe_2_expands_candidates(spark, embeddings):
+    """multi_probe=2 must probe distance-2 buckets too: its candidate set is
+    a superset of multi_probe=1's, and both are subsets of multi_probe=nbits
+    (which scans everything)."""
+    from sketches_rust_spark.operators.similarity import make_probes
+
+    probes = make_probes(spark, embeddings, [0, 1])
+    got = {}
+    for mp in (0, 1, 2):
+        df = lsh_topk(embeddings, probes, k=10_000, nbits=6, dim=64,
+                      multi_probe=mp)
+        got[mp] = {(r["probe_id"], r["vec_id"]) for r in df.collect()}
+    assert got[0] <= got[1] <= got[2]
+    assert len(got[2]) > len(got[1])  # distance-2 buckets genuinely probed
+
+
+def test_lsh_precomputed_signature_column(spark, embeddings):
+    """Passing a precomputed signature column must give identical results to
+    the inline signature pass."""
+    from sketches_rust_spark.operators.similarity import (
+        make_probes, with_lsh_signature)
+
+    probes = make_probes(spark, embeddings, [0, 1, 2])
+    inline = lsh_topk(embeddings, probes, k=10, nbits=6, dim=64).collect()
+    pre = with_lsh_signature(embeddings, "embedding", dim=64, nbits=6,
+                             sig_col="sig_pre")
+    reused = lsh_topk(pre, probes, k=10, nbits=6, dim=64,
+                      sig_col="sig_pre").collect()
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    assert sorted(inline, key=key) == sorted(reused, key=key)
+
+
+def test_lsh_signature_plan_size_independent_of_dim(spark):
+    """The signature expression must stay O(nbits) plan nodes: coefficients
+    ride in one array literal per bit, not dim literals per bit."""
+    import pandas as pd
+
+    from sketches_rust_spark.operators.similarity import (
+        hyperplanes, lsh_signature_col)
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [rng.normal(size=64).tolist() for _ in range(50)],
+    })
+    df = spark.createDataFrame(pdf)
+    planes = hyperplanes(64, 16)
+    sig = df.withColumn("_sig", lsh_signature_col(F.col("embedding"), planes))
+    plan = sig._jdf.queryExecution().analyzed().toString()
+    # one array literal per bit: the flat coefficient list appears as
+    # slice(...) over a single literal, so the plan text stays small
+    assert plan.count("slice(") == 16
+    assert len(plan) < 200_000
+    rows = sig.select("_sig").collect()
+    # cross-check one row against numpy
+    v = np.array(pdf["embedding"][0])
+    want = sum((1 << b) for b in range(16) if float(planes[b] @ v) > 0)
+    assert rows[0]["_sig"] == want

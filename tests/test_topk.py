@@ -45,3 +45,27 @@ def test_topk_cms_overestimates_within_bound(spark, documents):
     n = documents.count()
     for item, est in got.items():
         assert exact[item] <= est <= exact[item] + np.e / 8192 * n + 1
+
+
+def test_topk_exact_plan_has_no_global_window(spark, documents):
+    """The returned plan must take the global top-k via TakeOrderedAndProject
+    (per-task heaps), never an unpartitioned window over all candidates; any
+    Window node must carry a partition spec (bounded, warning-free)."""
+    top = topk_exact_pruned(documents.repartition(7), "lang", k=5)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # partition spec present => not the move-everything-to-one-
+            # unpartitioned-task shape WindowExec warns about
+            assert "specifiedwindowframe" in line.lower() or ", [" in line
+
+
+def test_topk_exact_result_is_lazy_and_recomputable(spark, documents):
+    """Verification collects only k rows; the returned DataFrame is a lazy
+    plan that recomputes to the same result."""
+    top = topk_exact_pruned(documents.repartition(7), "lang", k=3)
+    first = top.collect()
+    second = top.collect()
+    assert first == second
+    assert len(first) == 3
