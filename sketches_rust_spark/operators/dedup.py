@@ -260,15 +260,29 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs with Hamming distance <= max_hamming, blocked by the
-    four 16-bit quarters of the signature (a pair within distance 3 must
-    agree exactly on at least one quarter)."""
+    """Candidate pairs with Hamming distance <= max_hamming, blocked by
+    (max_hamming + 1) contiguous bit spans of the signature: a pair within
+    distance d can differ in at most d blocks, so it must agree exactly on
+    at least one of the d+1 blocks (pigeonhole) — the block-equality join
+    finds every qualifying pair, for ANY max_hamming in [0, 63]."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block_val(q: int) -> Column:
+        shifted = F.shiftrightunsigned("simhash", offs[q])
+        if widths[q] >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[q]) - 1))
+
     quarters = signatures.select(
         "_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(q).alias("q"),
-                     F.shiftrightunsigned("simhash", 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-            for q in range(4)
+            F.struct(F.lit(q).alias("q"), block_val(q).alias("v"))
+            for q in range(n_blocks)
         ])).alias("qv"),
     ).select("_id", "simhash", F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
     a, b = quarters.alias("a"), quarters.alias("b")
@@ -293,7 +307,10 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     O(component diameter) rounds — near-dup clusters are shallow (dup
     clusters link through shared content), so a small cap suffices and the
     loop stops early at fixpoint. This is the standard scalable CC shape
-    (no driver-side union-find)."""
+    (no driver-side union-find). Every iteration localCheckpoints the label
+    table: without lineage truncation the nested self-join plan grows
+    exponentially with rounds (driver OOM just *printing* it by ~iteration
+    15, and unbounded recompute on failure at scale)."""
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))))
     labels = (edges.select(F.col("src").alias("_id")).distinct()
@@ -301,6 +318,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = edges.cache()
     labels = labels.cache()
     try:
+        changed = -1
         for _ in range(max_iters):
             neighbor_min = (edges.join(labels, edges.dst == labels._id)
                             .groupBy("src").agg(F.min("cluster").alias("nmin")))
@@ -308,7 +326,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                                       labels._id == neighbor_min.src, "left")
                           .select(labels._id,
                                   F.least("cluster", "nmin").alias("cluster"))
-                          ).cache()
+                          ).localCheckpoint()
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "_id")
                        .where(F.col("n.cluster") != F.col("o.cluster")).count())
@@ -316,6 +334,13 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # returning unconverged labels would silently split components
+            # (dedup_keep_canonical would then retain duplicates)
+            raise RuntimeError(
+                f"near_dup_clusters did not converge within max_iters="
+                f"{max_iters} (labels still changing); the component "
+                f"diameter exceeds the cap — raise max_iters")
         return labels.select("_id", "cluster")
     finally:
         edges.unpersist()
@@ -377,6 +402,75 @@ FROM inter
 JOIN sizes na ON na._id = id_a
 JOIN sizes nb ON nb._id = id_b
 WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold!r}
+"""
+
+
+def _duck_simhash_sig(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB CTE text computing the exact simhash signature per document
+    (distinct-token md5 base hashes, per-bit +-1 votes, positive-vote bits).
+    The base hash is 60-bit, so bits 60..63 always vote negative and the
+    signed BIGINT signature never wraps."""
+    return f"""
+thh AS (
+  SELECT DISTINCT {id_col} AS _id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS h
+  FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t FROM {table})
+),
+votes AS (
+  SELECT _id, bb.bit AS bit,
+         sum(CASE WHEN (h >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM thh, (SELECT unnest(range(0, 64)) AS bit) bb
+  GROUP BY _id, bb.bit
+),
+sig AS (
+  SELECT _id,
+         CAST(sum(CASE WHEN v > 0 AND bit < 63
+                       THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY _id
+)"""
+
+
+def simhash_pairs_oracle_sql(table: str, id_col: str, text_col: str,
+                             max_hamming: int) -> str:
+    """All-pairs Hamming filter — exactly what the blocked join computes
+    (pigeonhole makes blocking lossless for d <= max_hamming)."""
+    return f"""
+WITH {_duck_simhash_sig(table, id_col, text_col)}
+SELECT a._id AS id_a, b._id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a._id < b._id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def keep_canonical_oracle_sql(table: str, id_col: str, text_col: str,
+                              max_hamming: int) -> str:
+    """End-to-end near-dup removal oracle: simhash pairs -> connected
+    components via a recursive transitive closure -> keep the min-id member
+    of each component (plus every unpaired row)."""
+    return f"""
+WITH RECURSIVE {_duck_simhash_sig(table, id_col, text_col)},
+pairs AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM sig a JOIN sig b ON a._id < b._id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clusters AS (
+  SELECT s AS _id, least(s, min(d)) AS cluster FROM reach GROUP BY s
+)
+SELECT {id_col} FROM {table}
+WHERE {id_col} NOT IN (SELECT _id FROM clusters WHERE _id <> cluster)
 """
 
 

@@ -263,6 +263,37 @@ def minhash_lsh_query(num_perm: int = 16, shingle_k: int = 3,
     return run
 
 
+def simhash_pairs_query(max_hamming: int = 3):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import simhash_near_pairs, simhash_signatures
+        sigs = simhash_signatures(load(spark, sf_dir, "documents"))
+        return (simhash_near_pairs(sigs, max_hamming)
+                .select("id_a", "id_b",
+                        F.col("hamming").cast("long").alias("hamming")))
+    return run
+
+
+def keep_canonical_query(max_hamming: int = 3):
+    """End-to-end near-dup removal: simhash pairs -> connected components
+    (min-label propagation) -> keep the canonical (min-id) member."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import (dedup_keep_canonical, simhash_near_pairs,
+                            simhash_signatures)
+        df = load(spark, sf_dir, "documents")
+        pairs = simhash_near_pairs(simhash_signatures(df), max_hamming)
+        return dedup_keep_canonical(df, pairs).select("doc_id")
+    return run
+
+
+def cms_topk_query(table: str, item_expr: str, k: int,
+                   depth: int = 5, width: int = 8192):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .topk import topk_cms
+        return topk_cms(load(spark, sf_dir, table), item_expr, k,
+                        depth=depth, width=width)
+    return run
+
+
 def ann_topk_query(probe_ids: list[int], k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .similarity import brute_force_topk, make_probes
@@ -339,6 +370,9 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
                         "l_partkey", 10, fudge=8)),
     "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
+    "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
+    "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
+    "topk_langs_cms": cms_topk_query("documents", "lang", 3),
 }
 
 from ..functions.sibling_oracle import (  # noqa: E402
@@ -348,13 +382,16 @@ from ..functions.sibling_oracle import (  # noqa: E402
 )
 from .dedup import (  # noqa: E402
     exact_dup_stats_oracle_sql,
+    keep_canonical_oracle_sql,
     minhash_lsh_oracle_sql,
     ngram_jaccard_oracle_sql,
+    simhash_pairs_oracle_sql,
 )
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
     lsh_topk_oracle_sql,
 )
+from .topk import topk_cms_oracle_sql as topk_cms_oracle  # noqa: E402
 from .topk import topk_exact_oracle_sql as topk_oracle  # noqa: E402
 from .text import text_features_oracle_sql  # noqa: E402
 
@@ -405,4 +442,9 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
     "ann_lsh_topk": lsh_topk_oracle_sql(
         "embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
+    "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(
+        "documents", "doc_id", "text", 3),
+    "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
+        "documents", "doc_id", "text", 3),
+    "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
 }

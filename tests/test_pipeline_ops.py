@@ -308,3 +308,53 @@ def test_lsh_signature_plan_size_independent_of_dim(spark):
     v = np.array(pdf["embedding"][0])
     want = sum((1 << b) for b in range(16) if float(planes[b] @ v) > 0)
     assert rows[0]["_sig"] == want
+
+
+def test_simhash_blocking_generalizes_beyond_3(spark):
+    """max_hamming > 3 must derive more blocks (pigeonhole) and still find
+    every qualifying pair — compare against an all-pairs filter."""
+    from sketches_rust_spark.operators.dedup import (
+        simhash_near_pairs, simhash_signatures)
+
+    rows = [(i, f"tok{i} " * 3 + "shared words mostly common here "
+             + ("x y z" if i % 2 else "x y w")) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = simhash_signatures(df).cache()
+    try:
+        for d in (0, 3, 5):
+            got = {(r["id_a"], r["id_b"], r["hamming"])
+                   for r in simhash_near_pairs(sigs, max_hamming=d).collect()}
+            sp = {r["_id"]: r["simhash"] for r in sigs.collect()}
+            ids = sorted(sp)
+            want = {(a, b, bin(sp[a] ^ sp[b]).count("1"))
+                    for i, a in enumerate(ids) for b in ids[i + 1:]
+                    if bin(sp[a] ^ sp[b]).count("1") <= d}
+            assert got == want, f"max_hamming={d}"
+    finally:
+        sigs.unpersist()
+
+
+def test_simhash_max_hamming_validation(spark):
+    from sketches_rust_spark.operators.dedup import (
+        simhash_near_pairs, simhash_signatures)
+
+    df = spark.createDataFrame([(0, "a b"), (1, "a c")], ["doc_id", "text"])
+    sigs = simhash_signatures(df)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=64)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=-1)
+
+
+def test_near_dup_clusters_raises_on_nonconvergence(spark):
+    """A long path needs diameter iterations; a tiny cap must raise instead
+    of silently returning split components."""
+    from sketches_rust_spark.operators.dedup import near_dup_clusters
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                 ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        near_dup_clusters(path, max_iters=2)
+    labels = {r["_id"]: r["cluster"]
+              for r in near_dup_clusters(path, max_iters=20).collect()}
+    assert set(labels.values()) == {0}
