@@ -118,6 +118,63 @@ def sample_video_frames(df: DataFrame, every_nth: int = 30,
             .mapInPandas(stage, schema=out_schema))
 
 
+def media_from_documents(docs: DataFrame, kind: str = "image",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from the documents fixture: the
+    payload is the utf-8 bytes of the text (pure-ASCII in the driver
+    tables), so every downstream byte computation is reproducible in the
+    DuckDB oracle via ascii()/substr arithmetic."""
+    return docs.select(F.col(id_col).alias("media_id"),
+                       F.lit(kind).alias("kind"),
+                       F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+# -- DuckDB oracles (exact replicas of the fake decoders' byte arithmetic) --------
+
+def image_features_oracle_sql(table: str, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              luma_digits: int = 9) -> str:
+    """Oracle for decode_image_features(media_from_documents(...), fake=True):
+    width/height from the first 8/next 8 byte sums of the 256-byte
+    zero-padded prefix, mean luma over all 256 padded bytes (zeros beyond
+    the text contribute nothing to the sums)."""
+    return f"""
+WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
+                  length({text_col}) AS n FROM {table}),
+sums AS (
+  SELECT media_id, n,
+    list_aggregate(list_transform(range(1, least(n, 8) + 1), i -> ascii(text[i])), 'sum') AS s8,
+    list_aggregate(list_transform(range(9, least(n, 16) + 1), i -> ascii(text[i])), 'sum') AS s16,
+    list_aggregate(list_transform(range(1, least(n, 256) + 1), i -> ascii(text[i])), 'sum') AS sall
+  FROM m
+)
+SELECT media_id,
+       CAST(64 + (s8 % 1984) AS BIGINT) AS width,
+       CAST(64 + (s16 % 1984) AS BIGINT) AS height,
+       round((CAST(sall AS DOUBLE) / 256) / 255, {luma_digits}) AS mean_luma,
+       CAST(n AS BIGINT) AS n_bytes
+FROM sums
+"""
+
+
+def frame_sample_oracle_sql(table: str, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            every_nth: int = 2) -> str:
+    """Oracle for sample_video_frames(media_from_documents(..., 'video'),
+    fake=True): 64-byte frame slices at every_nth frame indexes; frames are
+    compared by md5 (portable across Spark binary and DuckDB VARCHAR for
+    ASCII payloads)."""
+    return f"""
+WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
+                  length({text_col}) AS n FROM {table})
+SELECT media_id, CAST(t.fi AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(t.fi AS INT) * 64 + 1, 64)) AS frame_md5,
+       CAST(length(substr(text, CAST(t.fi AS INT) * 64 + 1, 64)) AS BIGINT) AS frame_bytes
+FROM m, unnest(range(0, greatest(n // 64, 1), {every_nth})) AS t(fi)
+"""
+
+
 def synthetic_media(spark, n: int = 200) -> DataFrame:
     """Deterministic fake media table exercising the binary-column plumbing."""
     rng = np.random.default_rng(42)

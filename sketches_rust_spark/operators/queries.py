@@ -285,6 +285,38 @@ def keep_canonical_query(max_hamming: int = 3):
     return run
 
 
+def multimodal_image_query():
+    """Image decode + feature extraction over a binary media column (payload
+    = utf-8 document bytes, deterministic sandbox decoder; the Spark-side
+    Arrow-batched mapInPandas plumbing is the production shape)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .multimodal import decode_image_features, media_from_documents
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        feats = decode_image_features(media, fake=True)
+        return feats.select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round("mean_luma", 9).alias("mean_luma"),
+            "n_bytes")
+    return run
+
+
+def multimodal_frames_query(every_nth: int = 2):
+    """Video frame-sampling plumbing: 1->N fan-out through mapInPandas;
+    frames compared by md5 so binary payloads stay oracle-checkable."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .multimodal import media_from_documents, sample_video_frames
+        media = media_from_documents(load(spark, sf_dir, "documents"), "video")
+        frames = sample_video_frames(media, every_nth=every_nth, fake=True)
+        return frames.select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.md5("frame").alias("frame_md5"),
+            F.length("frame").cast("long").alias("frame_bytes"))
+    return run
+
+
 def cms_topk_query(table: str, item_expr: str, k: int,
                    depth: int = 5, width: int = 8192):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +405,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
+    "multimodal_image_features": multimodal_image_query(),
+    "multimodal_frame_sample": multimodal_frames_query(every_nth=2),
 }
 
 from ..functions.sibling_oracle import (  # noqa: E402
@@ -386,6 +420,10 @@ from .dedup import (  # noqa: E402
     minhash_lsh_oracle_sql,
     ngram_jaccard_oracle_sql,
     simhash_pairs_oracle_sql,
+)
+from .multimodal import (  # noqa: E402
+    frame_sample_oracle_sql,
+    image_features_oracle_sql,
 )
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
@@ -447,4 +485,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
+    "multimodal_image_features": image_features_oracle_sql("documents"),
+    "multimodal_frame_sample": frame_sample_oracle_sql("documents", every_nth=2),
 }
