@@ -185,9 +185,25 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFra
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-set Jaccard >= threshold via shared-shingle join."""
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard >= threshold via shared-shingle join.
+
+    max_shingle_df: doc-frequency cap — shingles appearing in more than this
+    many documents are dropped from every document's set BEFORE sizing and
+    joining (Jaccard is then computed over the capped sets, consistently on
+    both sides of the ratio). The shared-shingle self-join is quadratic in
+    per-shingle doc frequency, so one stop-phrase shingle shared by 10^6
+    docs means 10^12 join rows without the cap; a shingle shared by more
+    than N documents carries no near-dup signal anyway. None = exact
+    (the verification configuration for the approximate methods — test
+    scale only)."""
     sh = shingle_hashes(df, id_col, text_col, shingle_k)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_shingle_df)
+               .select("h"))
+        sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -387,13 +403,24 @@ shh AS (
 
 
 def ngram_jaccard_oracle_sql(table: str, id_col: str, text_col: str,
-                             shingle_k: int, threshold: float) -> str:
+                             shingle_k: int, threshold: float,
+                             max_shingle_df: int | None = None) -> str:
+    if max_shingle_df is not None:
+        capped = f""",
+capped AS (
+  SELECT _id, h FROM shh
+  WHERE h IN (SELECT h FROM shh GROUP BY h HAVING count(*) <= {max_shingle_df})
+)"""
+        src = "capped"
+    else:
+        capped = ""
+        src = "shh"
     return f"""
-WITH {_duck_shingle_hashes(table, id_col, text_col, shingle_k)},
-sizes AS (SELECT _id, count(*) AS n FROM shh GROUP BY _id),
+WITH {_duck_shingle_hashes(table, id_col, text_col, shingle_k)}{capped},
+sizes AS (SELECT _id, count(*) AS n FROM {src} GROUP BY _id),
 inter AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
-  FROM shh a JOIN shh b ON a.h = b.h AND a._id < b._id
+  FROM {src} a JOIN {src} b ON a.h = b.h AND a._id < b._id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,

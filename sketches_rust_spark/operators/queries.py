@@ -151,35 +151,60 @@ def bloom_probe_query(table: str, id_expr: str, probes: list[int],
     return run
 
 
-def tdigest_query(table: str, value_expr: str, groups: list[str],
-                  quantiles: dict[str, float], delta: float = 200.0):
-    """Rows-only driver check (t-digest state is input-order-dependent);
-    accuracy is covered by pytest rank-error bounds."""
+def quantile_rank_check_query(kind: str, table: str, value_expr: str,
+                              groups: list[str], quantiles: dict[str, float],
+                              bound: float):
+    """Hard driver signal for order-dependent quantile sketches (t-digest /
+    KLL): the estimates themselves cannot be reproduced in SQL (centroid
+    merging / compaction depends on input order), so the query emits
+    *provably deterministic* derived columns instead — the exact per-group
+    row count and, per quantile, a rank-containment boolean computed against
+    the raw data in the same plan:
+
+        #(v < est)/n <= q + bound  AND  #(v <= est)/n >= q - bound
+
+    The DuckDB oracle asserts cnt exactly and the booleans as TRUE, so a
+    sketch whose rank error exceeds ``bound`` flips the hash red. Estimate
+    accuracy at tighter tolerances is covered by pytest (0.02/0.025)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..functions.sketch_udafs import (
-            sketch_aggregate, tdigest_adapter, tdigest_quantile)
-        df = load(spark, sf_dir, table).select(
-            *groups, F.expr(value_expr).cast("double").alias("_v"))
-        agg = sketch_aggregate(df, "_v", groups, tdigest_adapter(delta))
-        cols = [tdigest_quantile("sketch", F.lit(q)).alias(name)
-                for name, q in quantiles.items()]
-        return agg.select(*groups, *cols)
+            kll_adapter, kll_quantile, sketch_aggregate,
+            tdigest_adapter, tdigest_quantile)
+        if kind == "tdigest":
+            adapter, qudf = tdigest_adapter(), tdigest_quantile
+        else:
+            adapter, qudf = kll_adapter(), kll_quantile
+        df = (load(spark, sf_dir, table)
+              .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
+              .where(F.col("_v").isNotNull()))
+        agg = sketch_aggregate(df, "_v", groups, adapter)
+        ests = agg.select(
+            *groups, *[qudf("sketch", F.lit(q)).alias(f"_e_{name}")
+                       for name, q in quantiles.items()])
+        # one estimate row per group -> broadcast join back onto the raw rows
+        joined = df.join(F.broadcast(ests), on=groups)
+        n = F.count(F.lit(1))
+        aggs = [n.cast("bigint").alias("cnt")]
+        for name, q in quantiles.items():
+            lt = F.sum((F.col("_v") < F.col(f"_e_{name}")).cast("double"))
+            leq = F.sum((F.col("_v") <= F.col(f"_e_{name}")).cast("double"))
+            ok = ((leq / n >= F.lit(q - bound)) & (lt / n <= F.lit(q + bound)))
+            aggs.append(ok.alias(f"{name}_ok"))
+        return joined.groupBy(*groups).agg(*aggs)
     return run
 
 
-def kll_query(table: str, value_expr: str, groups: list[str],
-              quantiles: dict[str, float], k: int = 200):
-    """Rows-only driver check (KLL compaction is randomized/order-dependent)."""
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.sketch_udafs import (
-            kll_adapter, kll_quantile, sketch_aggregate)
-        df = load(spark, sf_dir, table).select(
-            *groups, F.expr(value_expr).cast("double").alias("_v"))
-        agg = sketch_aggregate(df, "_v", groups, kll_adapter(k))
-        cols = [kll_quantile("sketch", F.lit(q)).alias(name)
-                for name, q in quantiles.items()]
-        return agg.select(*groups, *cols)
-    return run
+def quantile_rank_check_oracle_sql(table: str, value_expr: str,
+                                   groups: list[str],
+                                   quantiles: dict[str, float]) -> str:
+    gsel = ", ".join(groups)
+    oks = ", ".join(f"TRUE AS {name}_ok" for name in quantiles)
+    return f"""
+SELECT {gsel}, CAST(count(*) AS BIGINT) AS cnt, {oks}
+FROM {table}
+WHERE {value_expr} IS NOT NULL
+GROUP BY {gsel}
+"""
 
 
 def weighted_quantile_query(table: str, value_expr: str, weight_expr: str,
@@ -235,6 +260,18 @@ def text_features_query():
     return run
 
 
+def winnow_fingerprint_query(k: int = 8, w: int = 16):
+    """Rolling-hash + winnowing document fingerprints (SIGMOD'03): any
+    shared substring of length >= w + k - 1 guarantees a shared fingerprint.
+    Summary columns per doc; exact DuckDB oracle replays the byte math."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .text import winnow_fingerprints
+        fp = winnow_fingerprints(load(spark, sf_dir, "documents"), k=k, w=w)
+        return fp.select(F.col("_id").alias("doc_id"),
+                         "n_fp", "fp_min", "fp_max", "fp_xor")
+    return run
+
+
 def exact_dup_stats_query():
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import exact_dup_stats
@@ -242,11 +279,13 @@ def exact_dup_stats_query():
     return run
 
 
-def ngram_jaccard_query(shingle_k: int = 3, threshold: float = 0.3):
+def ngram_jaccard_query(shingle_k: int = 3, threshold: float = 0.3,
+                        max_shingle_df: int | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import ngram_jaccard_pairs
         return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
-                                   shingle_k=shingle_k, threshold=threshold)
+                                   shingle_k=shingle_k, threshold=threshold,
+                                   max_shingle_df=max_shingle_df)
     return run
 
 
@@ -385,10 +424,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_purchase_users": bloom_probe_query(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),
-    "tdigest_value_by_event_type": tdigest_query(
-        "events", "value", ["event_type"], _P503),
-    "kll_price_by_returnflag": kll_query(
-        "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
+    "tdigest_value_by_event_type": quantile_rank_check_query(
+        "tdigest", "events", "value", ["event_type"], _P503, bound=0.03),
+    "kll_price_by_returnflag": quantile_rank_check_query(
+        "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
+        bound=0.03),
     "text_features_documents": text_features_query(),
     "dedup_exact_stats": exact_dup_stats_query(),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
@@ -402,10 +442,12 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
                         "l_partkey", 10, fudge=8)),
     "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
+    "dedup_ngram_jaccard_capped": ngram_jaccard_query(max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
     "multimodal_image_features": multimodal_image_query(),
+    "text_winnow_fingerprints": winnow_fingerprint_query(),
     "multimodal_frame_sample": multimodal_frames_query(every_nth=2),
 }
 
@@ -431,7 +473,10 @@ from .similarity import (  # noqa: E402
 )
 from .topk import topk_cms_oracle_sql as topk_cms_oracle  # noqa: E402
 from .topk import topk_exact_oracle_sql as topk_oracle  # noqa: E402
-from .text import text_features_oracle_sql  # noqa: E402
+from .text import (  # noqa: E402
+    text_features_oracle_sql,
+    winnow_fingerprints_oracle_sql,
+)
 
 DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_textlen_by_lang": ddsketch_quantile_oracle_sql(
@@ -466,8 +511,13 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "bloom_purchase_users": bloom_oracle_sql(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),
-    # tdigest/kll: intentionally no oracle (input-order-dependent state) ->
-    # rows-only driver check; error bounds covered in pytest
+    # tdigest/kll: estimates are input-order-dependent (not SQL-expressible),
+    # but the exact counts + rank-containment booleans ARE deterministic —
+    # the oracle pins cnt and asserts the bound booleans TRUE
+    "tdigest_value_by_event_type": quantile_rank_check_oracle_sql(
+        "events", "value", ["event_type"], _P503),
+    "kll_price_by_returnflag": quantile_rank_check_oracle_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
     "text_features_documents": text_features_oracle_sql("documents", "doc_id"),
     "dedup_exact_stats": exact_dup_stats_oracle_sql("documents"),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_oracle_sql(
@@ -480,11 +530,14 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
     "ann_lsh_topk": lsh_topk_oracle_sql(
         "embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
+    "dedup_ngram_jaccard_capped": ngram_jaccard_oracle_sql(
+        "documents", "doc_id", "text", 3, 0.3, max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(
         "documents", "doc_id", "text", 3),
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
     "multimodal_image_features": image_features_oracle_sql("documents"),
+    "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
     "multimodal_frame_sample": frame_sample_oracle_sql("documents", every_nth=2),
 }

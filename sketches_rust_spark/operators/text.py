@@ -158,3 +158,108 @@ SELECT {id_col}, text_len, n_tokens, n_subtokens, punct_ratio, mean_token_len,
        lang_pred, fingerprint
 FROM feat
 """
+
+
+# -- winnowing fingerprints (SIGMOD'03) --------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 16) -> DataFrame:
+    """Per-document winnowed fingerprint summary:
+    (id, n_fp, fp_min, fp_max, fp_xor) — all derived from the kernel's
+    rolling-hash + winnowing selection (kernel/fingerprint.py, SIGMOD'03).
+
+    Runs as an Arrow-batched mapInPandas stage (the selection is inherently
+    per-document content-defined; there is no JVM builtin), one vectorized
+    numpy pass per document. Documents shorter than k bytes yield no
+    fingerprints and are omitted. min/max are taken in the unsigned hash
+    domain, then reinterpreted as int64 for the output column (the same
+    convention on the DuckDB oracle side)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..kernel.fingerprint import document_fingerprints
+
+    out_schema = StructType([
+        StructField("_id", df.schema[id_col].dataType, False),
+        StructField("n_fp", LongType(), False),
+        StructField("fp_min", LongType(), False),
+        StructField("fp_max", LongType(), False),
+        StructField("fp_xor", LongType(), False),
+    ])
+
+    def to_i64(x: np.uint64) -> int:
+        return int(np.array([x], dtype=np.uint64).view(np.int64)[0])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                fps = document_fingerprints(str(txt), k=k, w=w)
+                if fps.shape[0] == 0:
+                    continue
+                recs.append((did, int(fps.shape[0]), to_i64(fps.min()),
+                             to_i64(fps.max()),
+                             to_i64(np.bitwise_xor.reduce(fps))))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["_id", "n_fp", "fp_min", "fp_max", "fp_xor"])
+
+    return df.select(id_col, text_col).mapInPandas(stage, schema=out_schema)
+
+
+def winnow_fingerprints_oracle_sql(table: str, id_col: str = "doc_id",
+                                   text_col: str = "text", k: int = 8,
+                                   w: int = 16,
+                                   base: int = 1000003) -> str:
+    """Exact DuckDB replica of winnow_fingerprints for ASCII text.
+
+    The k-gram polynomial hash mod 2^64 is a sum of byte*BASE^(k-1-t) terms
+    in HUGEINT, reduced mod 2^64. Winnowing insight: the selected
+    fingerprint VALUES are exactly the distinct per-window minima (every
+    selected position is some window's argmin, and every window's min value
+    is realized by its selected argmin), so tie-breaking never matters for
+    the value set and the whole selection is a join + min + distinct."""
+    m64 = 1 << 64
+    powers = [pow(base, k - 1 - t, m64) for t in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i.i AS INT) + {t + 1}, 1)) AS HUGEINT) * {powers[t]}"
+        for t in range(k))
+    sign = (lambda x: f"CASE WHEN {x} >= 9223372036854775808 "
+            f"THEN CAST(CAST({x} AS HUGEINT) - 18446744073709551616 AS BIGINT) "
+            f"ELSE CAST({x} AS BIGINT) END")
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS _id, {text_col} AS text, length({text_col}) AS n
+  FROM {table} WHERE length({text_col}) >= {k}
+),
+hashes AS (
+  SELECT _id, i.i AS i,
+         CAST(({terms}) % 18446744073709551616 AS UBIGINT) AS h
+  FROM m, unnest(range(0, n - {k} + 1)) AS i(i)
+),
+wins AS (
+  SELECT _id, p.p AS p
+  FROM m, unnest(range(0, greatest(n - {k} + 1 - {w}, 0) + 1)) AS p(p)
+),
+wmin AS (
+  SELECT w.p AS p, w._id AS _id, min(h.h) AS mh
+  FROM wins w JOIN hashes h
+    ON h._id = w._id AND h.i BETWEEN w.p AND w.p + {w - 1}
+  GROUP BY 1, 2
+),
+fps AS (SELECT DISTINCT _id, mh AS h FROM wmin),
+summary AS (
+  SELECT _id, CAST(count(*) AS BIGINT) AS n_fp,
+         min(h) AS mn, max(h) AS mx, bit_xor(h) AS xr
+  FROM fps GROUP BY _id
+)
+SELECT _id AS {id_col}, n_fp,
+       {sign('mn')} AS fp_min,
+       {sign('mx')} AS fp_max,
+       {sign('xr')} AS fp_xor
+FROM summary
+"""

@@ -8,8 +8,12 @@ the batch two-level plan exact):
    blobs to an append-only parquet sink via ``foreachBatch``; readers merge
    blobs per group on demand. No state store at all — late data simply lands
    in a later batch's partial and merges in. This is the shape that survives
-   10^12-row streams: state is bounded by (groups x batches), compactable by
-   re-merging, and restart-safe because the sink is append-only.
+   10^12-row streams: state is bounded by (groups x batches) and compactable
+   by re-merging. foreachBatch is at-least-once, so a retried micro-batch
+   appends its partials twice; the reader restores exactly-once by deduping
+   on (keys..., batch_id) — the build emits exactly one partial row per
+   (group, batch), so the duplicate rows a retry appends are identical and
+   the dedup is lossless.
 
 2. **stateful running sketches** (`stateful_sketch_stream`): a custom
    stateful operator via ``applyInPandasWithState`` — per-key state IS the
@@ -73,9 +77,17 @@ def stream_sketch_partials(
 
 def merged_stream_result(spark: SparkSession, sink_dir: str,
                          keys: Sequence[str], config: SketchConfig) -> DataFrame:
-    """Merge-on-read: fold all appended partials per group into final blobs."""
-    partials = spark.read.parquet(sink_dir).drop("batch_id")
-    return merge_partials(partials, list(keys), config)
+    """Merge-on-read: fold all appended partials per group into final blobs.
+
+    Idempotent under foreachBatch's at-least-once retries: a replayed batch
+    re-appends one identical partial row per group (the batch build is a
+    deterministic aggregate), so deduping on (keys..., batch_id) before the
+    merge discards exactly the retry duplicates and nothing else."""
+    keys = list(keys)
+    partials = (spark.read.parquet(sink_dir)
+                .dropDuplicates([*keys, "batch_id"])
+                .drop("batch_id"))
+    return merge_partials(partials, keys, config)
 
 
 def stateful_sketch_stream(

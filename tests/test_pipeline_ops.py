@@ -358,3 +358,42 @@ def test_near_dup_clusters_raises_on_nonconvergence(spark):
     labels = {r["_id"]: r["cluster"]
               for r in near_dup_clusters(path, max_iters=20).collect()}
     assert set(labels.values()) == {0}
+
+
+def test_ngram_jaccard_df_cap_bounds_join_input(spark):
+    """Adversarial stop-phrase fixture: every doc shares one hot shingle.
+    The df-cap must (a) remove every shingle above the cap from the join
+    input and (b) still find the genuine near-dup pair through its
+    discriminative shingles."""
+    from sketches_rust_spark.operators.dedup import (
+        ngram_jaccard_pairs, shingle_hashes)
+
+    stop = "the quick brown"  # one 3-shingle shared by every doc
+    rows = [(i, f"{stop} unique{i} tail{i} words{i} here{i}")
+            for i in range(60)]
+    # one genuine near-dup pair sharing their discriminative shingles
+    rows.append((100, f"{stop} same same same same extra"))
+    rows.append((101, f"{stop} same same same same extra two"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # (a) join input bounded: no surviving shingle has df > cap
+    sh = shingle_hashes(df, "doc_id", "text", 3)
+    cap = 10
+    hot = (sh.groupBy("h").count().where(F.col("count") > cap)
+           .select("h"))
+    capped = sh.join(hot, "h", "left_anti")
+    max_df = (capped.groupBy("h").count().agg(F.max("count")).collect()[0][0])
+    assert max_df is not None and max_df <= cap
+    # the hot stop-shingle really was present and dropped
+    assert hot.count() >= 1
+
+    # (b) capped pairs keep the near-dup, lose the stop-phrase-only pairs
+    capped_pairs = ngram_jaccard_pairs(df, threshold=0.3,
+                                       max_shingle_df=cap).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped_pairs}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, b in got)  # no pair exists only via the stop shingle
+
+    # exact (uncapped) agrees on the near-dup pair too
+    exact_pairs = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in exact_pairs}

@@ -94,3 +94,24 @@ def test_windowed_histogram_stream(spark, tmp_path, events_stream_dir):
     # at least one window per 7-day span and buckets carry counts per group
     groups = spark.sql("SELECT count(DISTINCT event_type) AS g FROM win_hist").collect()[0]["g"]
     assert groups == 5
+
+
+def test_merge_on_read_idempotent_under_batch_retry(spark, tmp_path,
+                                                    events_stream_dir):
+    """foreachBatch is at-least-once: simulate a retried micro-batch by
+    appending the same batch's partials twice — merged_stream_result must
+    not double-count."""
+    batch_df = spark.read.parquet(events_stream_dir).select(
+        "event_type", F.col("value").cast("double").alias("v"))
+    sink = str(tmp_path / "retry_sink")
+    partials = (ddsketch_aggregate_sql(batch_df, "v", ["event_type"], CFG)
+                .withColumn("batch_id", F.lit(0)))
+    partials.write.mode("append").parquet(sink)
+    partials.write.mode("append").parquet(sink)  # the retry
+
+    merged = merged_stream_result(spark, sink, ["event_type"], CFG)
+    got = {r["event_type"]: DDSketch.decode(bytes(r["sketch"])).get_count()
+           for r in merged.collect()}
+    want = {r["event_type"]: r["n"] for r in
+            batch_df.groupBy("event_type").agg(F.count("v").alias("n")).collect()}
+    assert got == {k: float(v) for k, v in want.items()}
