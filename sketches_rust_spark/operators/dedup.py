@@ -275,15 +275,30 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
             .groupBy("_id").agg(F.sum("b").cast("long").alias("simhash")))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
+                       n_blocks: int | None = None) -> DataFrame:
     """Candidate pairs with Hamming distance <= max_hamming, blocked by
-    (max_hamming + 1) contiguous bit spans of the signature: a pair within
-    distance d can differ in at most d blocks, so it must agree exactly on
-    at least one of the d+1 blocks (pigeonhole) — the block-equality join
-    finds every qualifying pair, for ANY max_hamming in [0, 63]."""
+    combinations of contiguous bit spans (the multi-block scheme of Manku,
+    Jain & Das Sarma, WWW'07).
+
+    With the signature split into n_blocks spans, a pair within distance d
+    differs in at most d blocks, so at least (n_blocks - d) blocks agree —
+    therefore SOME combination of (n_blocks - d) blocks agrees exactly
+    (pigeonhole), and joining on every such combination finds every
+    qualifying pair. n_blocks = d + 1 (the default) joins on single blocks
+    (cheapest key fan-out: d+1 rows/doc); LARGER n_blocks widens the join
+    key (e.g. n_blocks=6, d=3 -> C(6,3)=20 keys/doc of ~32 bits instead of
+    4 keys of 16 bits), cutting per-bucket collisions by ~2^16 — the knob to
+    turn at 10^9+ documents where 16-bit buckets go quadratic."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_blocks = max_hamming + 1
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not max_hamming + 1 <= n_blocks <= 64:
+        raise ValueError(
+            f"n_blocks must be in [max_hamming + 1, 64], got {n_blocks}")
+    import itertools
+
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
     offs = [sum(widths[:i]) for i in range(n_blocks)]
@@ -294,14 +309,18 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
             return shifted
         return shifted.bitwiseAND(F.lit((1 << widths[q]) - 1))
 
-    quarters = signatures.select(
+    blocks = [block_val(q) for q in range(n_blocks)]
+    combos = list(itertools.combinations(range(n_blocks),
+                                         n_blocks - max_hamming))
+    keyed = signatures.select(
         "_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(q).alias("q"), block_val(q).alias("v"))
-            for q in range(n_blocks)
+            F.struct(F.lit(ci).alias("q"),
+                     F.array(*[blocks[b] for b in combo]).alias("v"))
+            for ci, combo in enumerate(combos)
         ])).alias("qv"),
     ).select("_id", "simhash", F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
-    a, b = quarters.alias("a"), quarters.alias("b")
+    a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v"))
                    & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),

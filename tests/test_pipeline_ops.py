@@ -397,3 +397,26 @@ def test_ngram_jaccard_df_cap_bounds_join_input(spark):
     # exact (uncapped) agrees on the near-dup pair too
     exact_pairs = ngram_jaccard_pairs(df, threshold=0.3).collect()
     assert (100, 101) in {(r["id_a"], r["id_b"]) for r in exact_pairs}
+
+
+def test_simhash_multiblock_scheme_lossless(spark):
+    """Manku-style n_blocks > d+1 must find exactly the same pairs as the
+    minimal blocking (both equal the all-pairs filter)."""
+    from sketches_rust_spark.operators.dedup import (
+        simhash_near_pairs, simhash_signatures)
+
+    rows = [(i, f"tok{i} " * 2 + "shared words mostly common here "
+             + ("x y z" if i % 2 else "x y w")) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = simhash_signatures(df).cache()
+    try:
+        base = {(r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_near_pairs(sigs, max_hamming=3).collect()}
+        multi = {(r["id_a"], r["id_b"], r["hamming"])
+                 for r in simhash_near_pairs(sigs, max_hamming=3,
+                                             n_blocks=6).collect()}
+        assert base == multi
+        with pytest.raises(ValueError, match="n_blocks"):
+            simhash_near_pairs(sigs, max_hamming=3, n_blocks=3)
+    finally:
+        sigs.unpersist()
