@@ -200,10 +200,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     scale only)."""
     sh = shingle_hashes(df, id_col, text_col, shingle_k)
     if max_shingle_df is not None:
-        hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-               .where(F.col("_df") > max_shingle_df)
-               .select("h"))
-        sh = sh.join(hot, "h", "left_anti")
+        # annotate each (doc, shingle) row with the shingle's doc frequency
+        # via a window over h: ONE shuffle keyed by h (which the self-join
+        # needs anyway) and one pass — no second shingle explosion or
+        # anti-join scan
+        from pyspark.sql import Window
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        sh = (sh.withColumn("_df", dfreq)
+              .where(F.col("_df") <= max_shingle_df)
+              .drop("_df"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -310,13 +315,18 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
         return shifted.bitwiseAND(F.lit((1 << widths[q]) - 1))
 
     blocks = [block_val(q) for q in range(n_blocks)]
-    combos = list(itertools.combinations(range(n_blocks),
-                                         n_blocks - max_hamming))
+    agree = n_blocks - max_hamming
+    combos = list(itertools.combinations(range(n_blocks), agree))
+
+    def combo_key(combo) -> Column:
+        if agree == 1:  # scalar long key joins faster than a 1-array
+            return blocks[combo[0]]
+        return F.array(*[blocks[b] for b in combo])
+
     keyed = signatures.select(
         "_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(ci).alias("q"),
-                     F.array(*[blocks[b] for b in combo]).alias("v"))
+            F.struct(F.lit(ci).alias("q"), combo_key(combo).alias("v"))
             for ci, combo in enumerate(combos)
         ])).alias("qv"),
     ).select("_id", "simhash", F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
