@@ -302,6 +302,19 @@ def minhash_lsh_query(num_perm: int = 16, shingle_k: int = 3,
     return run
 
 
+def ann_ivf_query(probe_ids: list[int], k: int = 10,
+                  n_centroids: int = 16, n_probe: int = 4):
+    """IVF (inverted-file) ANN: probe only the n_probe nearest centroid
+    lists. Deterministic centroid seeds + fold cosine -> exact oracle."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .similarity import ivf_topk, make_probes
+        emb = load(spark, sf_dir, "embeddings")
+        probes = make_probes(spark, emb, probe_ids)
+        return ivf_topk(emb, probes, k=k, n_centroids=n_centroids,
+                        n_probe=n_probe)
+    return run
+
+
 def embedding_near_dup_query(threshold: float = 0.4, nbits: int = 6,
                              dim: int = 64, multi_probe: int = 1):
     """Embedding-cosine near-dup pairs via the bucketed (LSH Hamming-ball)
@@ -454,6 +467,7 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
                         "l_partkey", 10, fudge=8)),
     "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
+    "ann_ivf_topk": ann_ivf_query(_ANN_PROBES, k=10, n_centroids=16, n_probe=4),
     "dedup_ngram_jaccard_capped": ngram_jaccard_query(max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
@@ -484,6 +498,7 @@ from .multimodal import (  # noqa: E402
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
     embedding_near_dup_oracle_sql,
+    ivf_topk_oracle_sql,
     lsh_topk_oracle_sql,
 )
 from .topk import topk_cms_oracle_sql as topk_cms_oracle  # noqa: E402
@@ -545,6 +560,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
     "ann_lsh_topk": lsh_topk_oracle_sql(
         "embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
+    "ann_ivf_topk": ivf_topk_oracle_sql(
+        "embeddings", _ANN_PROBES, 10, n_centroids=16, n_probe=4),
     "dedup_ngram_jaccard_capped": ngram_jaccard_oracle_sql(
         "documents", "doc_id", "text", 3, 0.3, max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(

@@ -168,6 +168,155 @@ def lsh_topk(df: DataFrame, probes: DataFrame, k: int, nbits: int = 12,
             .where(F.col("rank") <= k))
 
 
+# -- IVF (inverted-file) ANN ------------------------------------------------------
+
+def ivf_centroids(df: DataFrame, n_centroids: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic pseudo-random centroid sample: the n_centroids vectors
+    whose portable md5 base hash of the id is smallest (reproducible in the
+    DuckDB oracle; no RNG state, no driver-side job). Output:
+    (c, cvec) with c = dense centroid index in hash order.
+
+    At real scale you would k-means-refine these seeds; the seed selection
+    itself is already the deterministic, shuffle-light part (TakeOrdered of
+    n_centroids rows)."""
+    from .dedup import _base_hash
+
+    hashed = df.select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("cvec"),
+                       _base_hash(F.col(id_col).cast("string")).alias("_h"))
+    top = hashed.orderBy("_h", "_cid").limit(n_centroids)
+    w = Window.partitionBy(F.pmod(F.col("_h"), F.lit(1))).orderBy("_h", "_cid")
+    return (top.withColumn("c", (F.row_number().over(w) - 1).cast("long"))
+            .select("c", "cvec"))
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster): nearest centroid by cosine, ties broken by smaller
+    centroid index. Scoring is a broadcast cross-join with JVM array
+    arithmetic — the standard IVF build cost of n_rows x n_centroids dot
+    products, with no Python and no shuffle of the corpus."""
+    vd = F.col(vec_col).cast("array<double>")
+    cd = F.col("cvec").cast("array<double>")
+    scored = (df.select(F.col(id_col).alias("_id"), F.col(vec_col))
+              .crossJoin(F.broadcast(centroids))
+              .select("_id", "c", cosine(vd, cd).alias("_s")))
+    # argmax by (score desc, centroid asc): max of struct(s, -c)
+    best = (scored.groupBy("_id")
+            .agg(F.max(F.struct(F.col("_s"), (-F.col("c")).alias("_nc"))).alias("_m"))
+            .select("_id", (-F.col("_m._nc")).alias("cluster")))
+    return best
+
+
+def ivf_topk(df: DataFrame, probes: DataFrame, k: int,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str = "probe_id",
+             probe_vec_col: str = "probe_vec") -> DataFrame:
+    """IVF approximate top-k: (probe_id, vec_id, score, rank).
+
+    The scale path: corpus rows are assigned once to their nearest centroid
+    (persist the assignment / partition the table by cluster in production);
+    each query scores only the rows in its n_probe nearest clusters —
+    n_probe/n_centroids of the corpus instead of all of it. Everything is
+    deterministic (md5-hash centroid seeds, sequential-fold cosine), so the
+    whole pipeline has an exact DuckDB oracle."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = (df.join(ivf_assign(df, cents, id_col, vec_col),
+                        F.col(id_col) == F.col("_id"))
+                .drop("_id"))
+    # probe-side: top n_probe clusters per probe by centroid cosine
+    pv = F.col(probe_vec_col).cast("array<double>")
+    cd = F.col("cvec").cast("array<double>")
+    pscore = (probes.crossJoin(F.broadcast(cents))
+              .select(probe_id_col, probe_vec_col, "c",
+                      cosine(pv, cd).alias("_s")))
+    wp = Window.partitionBy(probe_id_col).orderBy(F.desc("_s"), F.asc("c"))
+    probed = (pscore.withColumn("_r", F.row_number().over(wp))
+              .where(F.col("_r") <= n_probe)
+              .select(probe_id_col, probe_vec_col,
+                      F.col("c").alias("cluster")))
+    cand = (assigned.join(F.broadcast(probed), "cluster")
+            .where(F.col(id_col) != F.col(probe_id_col)))
+    vd = F.col(vec_col).cast("array<double>")
+    scored = cand.select(F.col(probe_id_col).alias("probe_id"),
+                         F.col(id_col).alias("vec_id"),
+                         F.round(cosine(vd, pv), 6).alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def ivf_topk_oracle_sql(table: str, probe_ids: list[int], k: int,
+                        n_centroids: int = 16, n_probe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """Exact replica of ivf_topk: same centroid seeds (md5 base hash order),
+    same sequential-fold cosine, same argmax/rank tie-breaks."""
+    probes = ", ".join(str(int(p)) for p in probe_ids)
+
+    def dot(a_vec: str, b_vec: str) -> str:
+        return (f"list_reduce(list_transform(range(1, len({a_vec}) + 1), "
+                f"i -> CAST({a_vec}[i] AS DOUBLE) * {b_vec}[i]), (a, b) -> a + b)")
+
+    def norm(vec: str) -> str:
+        return (f"sqrt(list_reduce(list_transform(CAST({vec} AS DOUBLE[]), "
+                f"x -> x * x), (a, b) -> a + b))")
+
+    cos_dc = (f"{dot(f'd.{vec_col}', 'ct.cv')} / "
+              f"({norm(f'd.{vec_col}')} * {norm('ct.cv')})")
+    cos_pc = (f"{dot('p.pv', 'ct.cv')} / ({norm('p.pv')} * {norm('ct.cv')})")
+    cos_dp = (f"round({dot(f'd.{vec_col}', 'p.pv')} / "
+              f"({norm(f'd.{vec_col}')} * {norm('p.pv')}), 6)")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT),
+                    {id_col}) - 1 AS c,
+         CAST({vec_col} AS DOUBLE[]) AS cv
+  FROM {table}
+  ORDER BY CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT), {id_col}
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vid, cluster FROM (
+    SELECT d.{id_col} AS vid, ct.c AS cluster,
+           row_number() OVER (PARTITION BY d.{id_col}
+                              ORDER BY {cos_dc} DESC, ct.c ASC) AS rr
+    FROM {table} d, cents ct
+  ) WHERE rr = 1
+),
+p AS (
+  SELECT {id_col} AS probe_id, CAST({vec_col} AS DOUBLE[]) AS pv
+  FROM {table} WHERE {id_col} IN ({probes})
+),
+probed AS (
+  SELECT probe_id, pv, cluster FROM (
+    SELECT p.probe_id, p.pv, ct.c AS cluster,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {cos_pc} DESC, ct.c ASC) AS rr
+    FROM p, cents ct
+  ) WHERE rr <= {n_probe}
+),
+scored AS (
+  SELECT p.probe_id, d.{id_col} AS vec_id, {cos_dp} AS score
+  FROM probed p
+  JOIN assigned a ON a.cluster = p.cluster
+  JOIN {table} d ON d.{id_col} = a.vid
+  WHERE d.{id_col} <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float, dim: int,
                              nbits: int = 8, multi_probe: int = 1,
                              id_col: str = "vec_id",

@@ -420,3 +420,29 @@ def test_simhash_multiblock_scheme_lossless(spark):
             simhash_near_pairs(sigs, max_hamming=3, n_blocks=3)
     finally:
         sigs.unpersist()
+
+
+def test_ivf_topk_recall_and_partition_invariance(spark, embeddings):
+    """IVF with n_probe clusters must (a) return valid exact-scored results,
+    (b) reach full recall when probing every centroid, and (c) be invariant
+    to input partitioning (deterministic centroid seeds + assignment)."""
+    from sketches_rust_spark.operators.similarity import ivf_topk, make_probes
+
+    probes = make_probes(spark, embeddings, [0, 1, 2])
+    exact = brute_force_topk(embeddings, probes, k=5).toPandas()
+    # probing ALL centroids == brute force (every row is a candidate)
+    full = ivf_topk(embeddings, probes, k=5, n_centroids=8,
+                    n_probe=8).toPandas()
+    key = ["probe_id", "rank"]
+    assert (full.sort_values(key)[["probe_id", "vec_id", "score"]].values.tolist()
+            == exact.sort_values(key)[["probe_id", "vec_id", "score"]].values.tolist())
+
+    part = ivf_topk(embeddings, probes, k=5, n_centroids=8, n_probe=2)
+    a = part.toPandas().sort_values(key).values.tolist()
+    b = (ivf_topk(embeddings.repartition(13), probes, k=5, n_centroids=8,
+                  n_probe=2).toPandas().sort_values(key).values.tolist())
+    assert a == b
+    # partial probing: every returned row is exactly scored and well-formed
+    pdf = part.toPandas()
+    assert ((pdf["score"] <= 1.000001) & (pdf["score"] >= -1.000001)).all()
+    assert set(pdf["probe_id"]) == {0, 1, 2}
