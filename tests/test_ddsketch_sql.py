@@ -191,3 +191,19 @@ def test_walk_helpers_reject_collapsing_presets(spark, documents):
         ddsketch_quantiles_sql(df, "v", ["lang"], {"p50": 0.5}, CFG_COLLAPSING)
     with pytest.raises(ValueError, match="collapsing"):
         ddsketch_stats_sql(df, "v", ["lang"], CFG_COLLAPSING)
+
+
+def test_weighted_logcubic_falls_back_to_pandas_build(spark):
+    """Non-LOG presets can't ride the SQL histogram; the pandas fallback
+    must still produce correct weighted counts."""
+    import pandas as pd
+
+    from sketches_rust_spark.functions.ddsketch_spark import (
+        SketchConfig as SC, ddsketch_aggregate_weighted)
+
+    pdf = pd.DataFrame({"v": [1.0, 10.0, 100.0], "w": [2.0, 3.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    cfg = SC("unbounded_dense", 0.01, 0)  # LogCubic mapping
+    rows = ddsketch_aggregate_weighted(df, "v", "w", [], cfg).collect()
+    sk = DDSketch.decode(bytes(rows[0]["sketch"]))
+    assert sk.get_count() == 10.0
