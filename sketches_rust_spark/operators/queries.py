@@ -238,6 +238,55 @@ def cubic_quantile_query(table: str, value_expr: str, groups: list[str],
     return run
 
 
+def cubic_bound_check_query(table: str, value_expr: str, groups: list[str],
+                            quantiles: dict[str, float],
+                            alpha: float = ALPHA):
+    """Hard driver signal for the LogCubic mapping (bucket math not
+    SQL-expressible): DDSketch guarantees |est - x| <= alpha*x where x is
+    the value at rank i = floor(q*(n-1)) + 1. Therefore, for positive data:
+
+        count(v <= est/(1-2a)) >= i   (x <= est/(1-a) <= est/(1-2a))
+        count(v <  est/(1+2a)) <  i   (x >= est/(1+a) >= est/(1+2a))
+
+    Both counts are exact and computable against the raw rows in the same
+    plan; the oracle pins cnt and asserts the booleans TRUE. A broken cubic
+    interpolation (wrong bucket boundaries) would be far outside 2*alpha
+    and flip the hash red."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = (load(spark, sf_dir, table)
+              .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
+              .where(F.col("_v").isNotNull() & (F.col("_v") > 0)))
+        cfg = SketchConfig("unbounded_dense", alpha, 0)  # LogCubic mapping
+        agg = ddsketch_aggregate(df, "_v", groups, cfg)
+        ests = agg.select(
+            *groups, *[make_quantile_udf(q)("sketch").alias(f"_e_{name}")
+                       for name, q in quantiles.items()])
+        joined = df.join(F.broadcast(ests), on=groups)
+        n = F.count(F.lit(1))
+        aggs = [n.cast("bigint").alias("cnt")]
+        for name, q in quantiles.items():
+            est = F.col(f"_e_{name}")
+            rank_i = F.floor(F.lit(q) * (n - 1)) + 1
+            leq_hi = F.sum((F.col("_v") <= est / F.lit(1 - 2 * alpha)).cast("long"))
+            lt_lo = F.sum((F.col("_v") < est / F.lit(1 + 2 * alpha)).cast("long"))
+            aggs.append(((leq_hi >= rank_i) & (lt_lo < rank_i)).alias(f"{name}_ok"))
+        return joined.groupBy(*groups).agg(*aggs)
+    return run
+
+
+def cubic_bound_check_oracle_sql(table: str, value_expr: str,
+                                 groups: list[str],
+                                 quantiles: dict[str, float]) -> str:
+    gsel = ", ".join(groups)
+    oks = ", ".join(f"TRUE AS {name}_ok" for name in quantiles)
+    return f"""
+SELECT {gsel}, CAST(count(*) AS BIGINT) AS cnt, {oks}
+FROM {table}
+WHERE {value_expr} IS NOT NULL AND {value_expr} > 0
+GROUP BY {gsel}
+"""
+
+
 def per_day_quantile_query():
     """Per-day grouped sketching (the north star's date_trunc('day', warc_ts)
     capability) over the events stream table."""
@@ -435,6 +484,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         {"p50": 0.5, "p99": 0.99}),
     "ddsketch_cubic_textlen_by_lang": cubic_quantile_query(
         "documents", "length(text)", ["lang"], _P503),
+    "ddsketch_cubic_bound_check": cubic_bound_check_query(
+        "documents", "length(text)", ["lang"], _P503),
     "ddsketch_stats_by_lang": sketch_stats_query(
         "documents", "length(text)", ["lang"]),
     "ddsketch_stats_events_centered": sketch_stats_query(
@@ -526,7 +577,11 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", ["l_returnflag"],
         {"p50": 0.5, "p99": 0.99}, ALPHA, weight_expr="l_quantity"),
     # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
-    # SQL-expressible; golden vectors + pytest error bounds cover it)
+    # SQL-expressible; golden vectors + pytest error bounds cover it).
+    # ddsketch_cubic_bound_check turns the alpha guarantee into
+    # deterministic booleans the oracle can pin:
+    "ddsketch_cubic_bound_check": cubic_bound_check_oracle_sql(
+        "documents", "length(text)", ["lang"], _P503),
     "ddsketch_stats_by_lang": ddsketch_stats_oracle_sql(
         "documents", "length(text)", ["lang"], ALPHA),
     "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(
