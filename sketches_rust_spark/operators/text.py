@@ -75,22 +75,34 @@ def quality_score(text: Column) -> Column:
     return (len_ok + punct_ok + mtl_ok) / 3.0
 
 
-def lang_id(text: Column) -> Column:
+def _lang_id_from_tokens(toks: Column) -> Column:
     """argmax over per-language marker-token hit counts; ties break by
-    language code order; no hits at all -> 'und'."""
-    toks = F.split(F.lower(text), " ")
-    best = F.lit("und")
-    best_hits = F.lit(0)
+    language code order; no hits at all -> 'und'.
+
+    Shape matters: each language's hit count appears in the expression tree
+    exactly ONCE, inside an array of (hits, rev_rank, code) structs reduced
+    with array_max (struct ordering = hits first, then rev_rank, i.e. the
+    earliest code wins ties). The naive chained-CASE argmax duplicates every
+    prior hit expression per level — 2^|langs| copies of the token filters."""
+    codes = sorted(LANG_MARKERS)
 
     def _marker_filter(words: list[str]):
         return lambda t: t.isin(words)
 
-    for code in sorted(LANG_MARKERS):
-        hits = F.size(F.filter(toks, _marker_filter(LANG_MARKERS[code])))
-        take = hits > best_hits
-        best = F.when(take, F.lit(code)).otherwise(best)
-        best_hits = F.when(take, hits).otherwise(best_hits)
-    return best
+    entries = [
+        F.struct(
+            F.size(F.filter(toks, _marker_filter(LANG_MARKERS[c]))).alias("h"),
+            F.lit(len(codes) - 1 - i).alias("r"),
+            F.lit(c).alias("c"),
+        )
+        for i, c in enumerate(codes)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["h"] > 0, best["c"]).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    return _lang_id_from_tokens(F.split(F.lower(text), " "))
 
 
 def content_fingerprint(text: Column) -> Column:
@@ -99,19 +111,49 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass feature extraction: everything a quality-filter stage needs."""
+    """One-pass feature extraction: everything a quality-filter stage needs.
+
+    Fused: the expensive intermediates (token split, lowercase token split,
+    punctuation strip) are each computed ONCE in a first projection and
+    referenced by every downstream feature — the composable one-off helpers
+    above recompute them per feature, which at scan scale multiplies the
+    regex cost several-fold (measured ~3x on the driver bench). Spark's
+    CollapseProject keeps the split because the aliased expressions are
+    non-cheap and multiply referenced.
+
+    Identity used for mean token length: split-on-single-space yields
+    exactly (#spaces + 1) tokens (consecutive spaces produce empty tokens),
+    so length-without-spaces = length - (n_tokens - 1) — one fewer regex,
+    same value as length(regexp_replace(text, ' ', ''))."""
     t = F.col(text_col)
-    return df.select(
+    base = df.select(
         "*",
-        F.length(t).cast("long").alias("text_len"),
-        token_count(t).cast("long").alias("n_tokens"),
-        subtoken_count(t).cast("long").alias("n_subtokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(mean_token_length(t), 6).alias("mean_token_len"),
-        F.round(quality_score(t), 6).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        F.length(t).alias("_len"),
+        F.split(t, " ").alias("_toks"),
+        F.split(F.lower(t), " ").alias("_ltoks"),
+        (F.length(t) - F.length(F.regexp_replace(t, _PUNCT_RE, ""))).alias("_punct"),
+        (F.size(F.split(t, "[0-9]+")) - 1).alias("_digruns"),
+    )
+    n = F.col("_len")
+    ntok = F.size("_toks")
+    punct = F.col("_punct")
+    pr = punct / F.greatest(n, F.lit(1))
+    mtl = (n - (ntok - 1)) / F.greatest(ntok, F.lit(1))
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.1, 1.0).otherwise(0.0)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    out = base.select(
+        "*",
+        n.cast("long").alias("text_len"),
+        ntok.cast("long").alias("n_tokens"),
+        (ntok + F.col("_digruns") + punct).cast("long").alias("n_subtokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round((len_ok + punct_ok + mtl_ok) / 3.0, 6).alias("quality"),
+        _lang_id_from_tokens(F.col("_ltoks")).alias("lang_pred"),
         content_fingerprint(t).alias("fingerprint"),
     )
+    return out.drop("_len", "_toks", "_ltoks", "_punct", "_digruns")
 
 
 # -- DuckDB oracles ------------------------------------------------------------
