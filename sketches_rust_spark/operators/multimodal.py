@@ -118,6 +118,73 @@ def sample_video_frames(df: DataFrame, every_nth: int = 30,
             .mapInPandas(stage, schema=out_schema))
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("duration_s", DoubleType(), False),
+    StructField("mean_amp", DoubleType(), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+_FAKE_SAMPLE_RATE = 16000  # bytes/sec of the fake PCM stream
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-clip audio decode + features as an Arrow-batched stage. The fake
+    decoder treats the payload as unsigned 8-bit PCM at 16 kB/s: duration =
+    n_bytes / rate, mean amplitude = mean(|b - 128|)/128. Swap for
+    soundfile/ffmpeg on a real cluster; the plumbing is unchanged."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decoding requires soundfile/ffmpeg, not "
+                        "present in this sandbox; pass fake=True")
+                b = np.frombuffer(data, dtype=np.uint8)
+                duration = len(data) / _FAKE_SAMPLE_RATE
+                amp = float(np.abs(b.astype(np.float64) - 128.0).mean()) / 128.0 \
+                    if len(b) else 0.0
+                rows.append((int(mid), duration, amp, len(data)))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return (df.where(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(stage, schema=AUDIO_FEATURES_SCHEMA))
+
+
+def resize_images(df: DataFrame, factor: int = 2,
+                  fake: bool = False) -> DataFrame:
+    """Image resize plumbing: binary in -> binary out, one row per image.
+    The fake path downsamples by keeping every ``factor``-th byte
+    (deterministic); a real implementation decodes, resizes, re-encodes.
+    Output: (media_id, out_bytes, resized binary)."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("out_bytes", LongType(), False),
+        StructField("resized", BinaryType(), False),
+    ])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not fake:
+                    raise NotImplementedError(
+                        "image resizing requires PIL, not present in this "
+                        "sandbox; pass fake=True")
+                out = data[::factor]
+                rows.append((int(mid), len(out), out))
+            yield pd.DataFrame(rows, columns=["media_id", "out_bytes", "resized"])
+
+    return (df.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(stage, schema=out_schema))
+
+
 def media_from_documents(docs: DataFrame, kind: str = "image",
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
@@ -172,6 +239,40 @@ SELECT media_id, CAST(t.fi AS BIGINT) AS frame_idx,
        md5(substr(text, CAST(t.fi AS INT) * 64 + 1, 64)) AS frame_md5,
        CAST(length(substr(text, CAST(t.fi AS INT) * 64 + 1, 64)) AS BIGINT) AS frame_bytes
 FROM m, unnest(range(0, greatest(n // 64, 1), {every_nth})) AS t(fi)
+"""
+
+
+def audio_features_oracle_sql(table: str, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              digits: int = 9) -> str:
+    """Oracle for decode_audio_features(media_from_documents(..., 'audio'),
+    fake=True): 8-bit-PCM byte arithmetic over the ASCII payload."""
+    return f"""
+WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
+                  length({text_col}) AS n FROM {table})
+SELECT media_id,
+       round(CAST(n AS DOUBLE) / {_FAKE_SAMPLE_RATE}, {digits}) AS duration_s,
+       round((list_aggregate(list_transform(range(1, n + 1),
+                i -> CAST(abs(ascii(text[i]) - 128) AS DOUBLE)), 'sum') / n)
+             / 128, {digits}) AS mean_amp,
+       CAST(n AS BIGINT) AS n_bytes
+FROM m
+"""
+
+
+def resize_images_oracle_sql(table: str, factor: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """Oracle for resize_images(..., fake=True): every factor-th byte of the
+    ASCII payload, compared by md5."""
+    return f"""
+WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
+                  length({text_col}) AS n FROM {table})
+SELECT media_id,
+       CAST((n + {factor} - 1) // {factor} AS BIGINT) AS out_bytes,
+       md5(array_to_string(list_transform(range(1, n + 1, {factor}),
+                                          i -> text[i]), '')) AS resized_md5
+FROM m
 """
 
 

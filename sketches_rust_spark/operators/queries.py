@@ -430,6 +430,29 @@ def multimodal_frames_query(every_nth: int = 2):
     return run
 
 
+def multimodal_audio_query():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .multimodal import decode_audio_features, media_from_documents
+        media = media_from_documents(load(spark, sf_dir, "documents"), "audio")
+        feats = decode_audio_features(media, fake=True)
+        return feats.select(
+            "media_id",
+            F.round("duration_s", 9).alias("duration_s"),
+            F.round("mean_amp", 9).alias("mean_amp"),
+            "n_bytes")
+    return run
+
+
+def multimodal_resize_query(factor: int = 2):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .multimodal import media_from_documents, resize_images
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        out = resize_images(media, factor=factor, fake=True)
+        return out.select("media_id", "out_bytes",
+                          F.md5("resized").alias("resized_md5"))
+    return run
+
+
 def cms_topk_query(table: str, item_expr: str, k: int,
                    depth: int = 5, width: int = 8192):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,6 +551,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": multimodal_image_query(),
     "text_winnow_fingerprints": winnow_fingerprint_query(),
     "multimodal_frame_sample": multimodal_frames_query(every_nth=2),
+    "multimodal_audio_features": multimodal_audio_query(),
+    "multimodal_image_resize": multimodal_resize_query(factor=2),
 }
 
 from ..functions.sibling_oracle import (  # noqa: E402
@@ -543,8 +568,10 @@ from .dedup import (  # noqa: E402
     simhash_pairs_oracle_sql,
 )
 from .multimodal import (  # noqa: E402
+    audio_features_oracle_sql,
     frame_sample_oracle_sql,
     image_features_oracle_sql,
+    resize_images_oracle_sql,
 )
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
@@ -629,4 +656,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "multimodal_image_features": image_features_oracle_sql("documents"),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
     "multimodal_frame_sample": frame_sample_oracle_sql("documents", every_nth=2),
+    "multimodal_audio_features": audio_features_oracle_sql("documents"),
+    "multimodal_image_resize": resize_images_oracle_sql("documents", factor=2),
 }
