@@ -367,16 +367,17 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         for _ in range(max_iters):
             neighbor_min = (edges.join(labels, edges.dst == labels._id)
                             .groupBy("src").agg(F.min("cluster").alias("nmin")))
+            # fold the convergence flag into the same projection: one join
+            # per iteration instead of two (no new-vs-old compare join)
             new_labels = (labels.join(neighbor_min,
                                       labels._id == neighbor_min.src, "left")
                           .select(labels._id,
-                                  F.least("cluster", "nmin").alias("cluster"))
+                                  F.least("cluster", "nmin").alias("cluster"),
+                                  (F.col("nmin") < F.col("cluster")).alias("_chg"))
                           ).localCheckpoint()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "_id")
-                       .where(F.col("n.cluster") != F.col("o.cluster")).count())
+            changed = new_labels.where(F.col("_chg")).count()
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels.drop("_chg")
             if changed == 0:
                 break
         if changed != 0:

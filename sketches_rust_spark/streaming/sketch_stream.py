@@ -146,19 +146,29 @@ def windowed_sketch_histogram(
     ts_col: str,
     window_duration: str = "1 day",
     watermark: str = "1 hour",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window sketch histogram — the fully-native
     streaming aggregation: groupBy(window, keys, side, idx).count() runs in
     the state store with late-data handling from the watermark; downstream
-    consumers assemble blobs or walk quantiles exactly as in batch."""
+    consumers assemble blobs or walk quantiles exactly as in batch.
+    weight_col: weighted inserts (sum(weight) per bucket, same guards as
+    the batch path)."""
     from ..functions.ddsketch_sql import bucket_columns, value_guard
 
     keys = list(keys)
     v = F.col(value_col)
     side, idx = bucket_columns(v, config)
-    return (stream_df
-            .withWatermark(ts_col, watermark)
-            .where(value_guard(v, config))
+    filtered = (stream_df
+                .withWatermark(ts_col, watermark)
+                .where(value_guard(v, config)))
+    if weight_col is None:
+        c = F.count(F.lit(1)).cast("double")
+    else:
+        w = F.col(weight_col).cast("double")
+        filtered = filtered.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        c = F.sum(w)
+    return (filtered
             .groupBy(F.window(ts_col, window_duration), *keys,
                      side.alias("side"), idx.alias("idx"))
-            .agg(F.count(F.lit(1)).cast("double").alias("c")))
+            .agg(c.alias("c")))

@@ -115,3 +115,31 @@ def test_merge_on_read_idempotent_under_batch_retry(spark, tmp_path,
     want = {r["event_type"]: r["n"] for r in
             batch_df.groupBy("event_type").agg(F.count("v").alias("n")).collect()}
     assert got == {k: float(v) for k, v in want.items()}
+
+
+def test_windowed_histogram_weighted(spark, tmp_path, events_stream_dir):
+    """Weighted streaming histogram: per-bucket c = sum(weight), matching
+    the batch weighted histogram over the same data."""
+    from sketches_rust_spark.functions.ddsketch_sql import ddsketch_histogram
+
+    stream = _read_stream(spark, events_stream_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.col("value").cast("double").alias("v"),
+        (F.col("user_id") % 3 + 1).cast("double").alias("w"))
+    hist = windowed_sketch_histogram(stream, "v", ["event_type"], CFG,
+                                     ts_col="ts", window_duration="365 days",
+                                     watermark="0 seconds", weight_col="w")
+    q = (hist.writeStream.format("memory").queryName("win_hist_w")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckptw"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(events_stream_dir).select(
+        "event_type", F.col("value").cast("double").alias("v"),
+        (F.col("user_id") % 3 + 1).cast("double").alias("w"))
+    want = {(r["event_type"], r["side"], r["idx"]): r["c"] for r in
+            ddsketch_histogram(batch, "v", ["event_type"], CFG, "w").collect()}
+    got = {(r["event_type"], r["side"], r["idx"]): r["c"] for r in
+           spark.sql("SELECT event_type, side, idx, c FROM win_hist_w").collect()}
+    assert got == want
