@@ -446,3 +446,24 @@ def test_ivf_topk_recall_and_partition_invariance(spark, embeddings):
     pdf = part.toPandas()
     assert ((pdf["score"] <= 1.000001) & (pdf["score"] >= -1.000001)).all()
     assert set(pdf["probe_id"]) == {0, 1, 2}
+
+
+def test_write_bucketed_signatures_roundtrip(spark, embeddings, tmp_path):
+    """The persisted bucketed-signature table must serve lsh_topk queries
+    (sig_col path) with results identical to the inline signature pass."""
+    from sketches_rust_spark.operators.similarity import (
+        make_probes, write_bucketed_signatures)
+
+    table = "emb_sigs_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed_signatures(embeddings, str(tmp_path / "emb_sigs"), table,
+                              "embedding", dim=64, nbits=6, num_buckets=8)
+    loaded = spark.table(table)
+    assert "_sig" in loaded.columns
+    probes = make_probes(spark, embeddings, [0, 1, 2])
+    inline = lsh_topk(embeddings, probes, k=10, nbits=6, dim=64).collect()
+    via_table = lsh_topk(loaded, probes, k=10, nbits=6, dim=64,
+                         sig_col="_sig").collect()
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    assert sorted(inline, key=key) == sorted(via_table, key=key)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
