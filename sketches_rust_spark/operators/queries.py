@@ -111,6 +111,53 @@ def hll_query(table: str, id_expr: str, groups: list[str], p: int = 14):
     return run
 
 
+def hll_union_sql_query(table: str, id_expr: str, group_col: str,
+                        group_vals: list[str], p: int = 14):
+    """Union cardinality via the SQL merge surface: per-group HLL sketches
+    merged with the registered ``hll_merge`` GROUPED_AGG UDF inside
+    spark.sql — the 'blobs mergeable in SQL' contract under a hard oracle
+    (HLL union register-equals a build over the unioned data)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            hll_adapter, register_sibling_sql, sketch_aggregate)
+        register_sibling_sql(spark, hll_p=p)
+        df = (load(spark, sf_dir, table)
+              .where(F.col(group_col).isin(group_vals))
+              .select(F.col(group_col).alias("_g"),
+                      F.expr(id_expr).cast("long").alias("_id")))
+        parts = sketch_aggregate(df, "_id", ["_g"],
+                                 hll_adapter(p=p, hash_mode="splitmix"))
+        parts.createOrReplaceTempView("hll_union_parts")
+        return spark.sql(
+            "SELECT round(hll_estimate(hll_merge(sketch)), 2) AS est "
+            "FROM hll_union_parts")
+    return run
+
+
+def ddsketch_sql_surface_query(table: str, value_expr: str, group_col: str,
+                               quantiles: dict[str, float],
+                               alpha: float = ALPHA):
+    """End-to-end SQL composition: partial blobs as a temp view, final
+    merge + quantile extraction written in plain spark.sql with the
+    registered ddsketch_merge / ddsketch_quantile functions."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.ddsketch_spark import (
+            build_partials, register_sql_functions)
+        cfg = _cfg(alpha)
+        register_sql_functions(spark, cfg)
+        df = load(spark, sf_dir, table).select(
+            group_col, F.expr(value_expr).cast("double").alias("_v"))
+        build_partials(df, "_v", [group_col], cfg).createOrReplaceTempView(
+            "ddsketch_sql_parts")
+        qcols = ", ".join(
+            f"round(ddsketch_quantile(ddsketch_merge(sketch), {q!r}), "
+            f"{ROUND_DIGITS}) AS {name}" for name, q in quantiles.items())
+        return spark.sql(
+            f"SELECT {group_col}, {qcols} FROM ddsketch_sql_parts "
+            f"GROUP BY {group_col}")
+    return run
+
+
 def _probe_df(spark: SparkSession, probes: list[int]):
     import numpy as np
     from ..kernel.bits import splitmix64
@@ -516,6 +563,10 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_textlen_by_lang_pandas_path": sketch_quantile_query(
         "documents", "length(text)", ["lang"], _P503, path="pandas"),
     "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
+    "hll_union_events_sql": hll_union_sql_query(
+        "events", "user_id", "event_type", ["purchase", "click"], p=14),
+    "ddsketch_sql_surface_quantiles": ddsketch_sql_surface_query(
+        "documents", "length(text)", "lang", {"p50": 0.5, "p99": 0.99}),
     "hll_partkeys_by_returnflag": hll_query(
         "lineitem", "l_partkey", ["l_returnflag"], p=14),
     "cms_user_event_counts": cms_probe_query(
@@ -616,6 +667,11 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_textlen_by_lang_pandas_path": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], _P503, ALPHA),
     "hll_users_by_event_type": hll_oracle_sql("events", "user_id", ["event_type"], 14),
+    "hll_union_events_sql": hll_oracle_sql(
+        "events", "user_id", [], 14,
+        where="event_type IN ('purchase', 'click')"),
+    "ddsketch_sql_surface_quantiles": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_partkeys_by_returnflag": hll_oracle_sql(
         "lineitem", "l_partkey", ["l_returnflag"], 14),
     "cms_user_event_counts": cms_oracle_sql(
