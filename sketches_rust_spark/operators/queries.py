@@ -221,9 +221,13 @@ def quantile_rank_check_query(kind: str, table: str, value_expr: str,
             adapter, qudf = tdigest_adapter(), tdigest_quantile
         else:
             adapter, qudf = kll_adapter(), kll_quantile
+        # the narrow input feeds BOTH the sketch build and the exact rank
+        # recount; without a cache that is two full scans per query (the
+        # round-2 bench regression). cache() shares the one scan.
         df = (load(spark, sf_dir, table)
               .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
-              .where(F.col("_v").isNotNull()))
+              .where(F.col("_v").isNotNull())
+              .cache())
         agg = sketch_aggregate(df, "_v", groups, adapter)
         ests = agg.select(
             *groups, *[qudf("sketch", F.lit(q)).alias(f"_e_{name}")
@@ -300,9 +304,12 @@ def cubic_bound_check_query(table: str, value_expr: str, groups: list[str],
     interpolation (wrong bucket boundaries) would be far outside 2*alpha
     and flip the hash red."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # cached: feeds both the sketch build and the exact bound recount
+        # (one scan, not two — see quantile_rank_check_query)
         df = (load(spark, sf_dir, table)
               .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
-              .where(F.col("_v").isNotNull() & (F.col("_v") > 0)))
+              .where(F.col("_v").isNotNull() & (F.col("_v") > 0))
+              .cache())
         cfg = SketchConfig("unbounded_dense", alpha, 0)  # LogCubic mapping
         agg = ddsketch_aggregate(df, "_v", groups, cfg)
         ests = agg.select(
@@ -423,24 +430,30 @@ def embedding_near_dup_query(threshold: float = 0.4, nbits: int = 6,
     return run
 
 
-def simhash_pairs_query(max_hamming: int = 3):
+def simhash_pairs_query(max_hamming: int = 3, n_blocks: int | None = 6):
+    """n_blocks=6 (Manku multi-block, C(6,3)=20 keys of ~32 bits) is the
+    scale-safe blocking: single-block 16-bit buckets emit ~92 candidates per
+    true pair at sf0.1 and go quadratic at 10^9 docs. Blocking is lossless
+    (pigeonhole), so the all-pairs oracle is unchanged."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import simhash_near_pairs, simhash_signatures
         sigs = simhash_signatures(load(spark, sf_dir, "documents"))
-        return (simhash_near_pairs(sigs, max_hamming)
+        return (simhash_near_pairs(sigs, max_hamming, n_blocks=n_blocks)
                 .select("id_a", "id_b",
                         F.col("hamming").cast("long").alias("hamming")))
     return run
 
 
-def keep_canonical_query(max_hamming: int = 3):
+def keep_canonical_query(max_hamming: int = 3, n_blocks: int | None = 6):
     """End-to-end near-dup removal: simhash pairs -> connected components
-    (min-label propagation) -> keep the canonical (min-id) member."""
+    (min-label propagation) -> keep the canonical (min-id) member.
+    n_blocks=6: see simhash_pairs_query (lossless, ~50x fewer candidates)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import (dedup_keep_canonical, simhash_near_pairs,
                             simhash_signatures)
         df = load(spark, sf_dir, "documents")
-        pairs = simhash_near_pairs(simhash_signatures(df), max_hamming)
+        pairs = simhash_near_pairs(simhash_signatures(df), max_hamming,
+                                   n_blocks=n_blocks)
         return dedup_keep_canonical(df, pairs).select("doc_id")
     return run
 

@@ -44,20 +44,39 @@ def brute_force_topk(df: DataFrame, probes: DataFrame, k: int,
     """Exact cosine top-k per probe: (probe_id, vec_id, score, rank).
 
     The probe set is broadcast (it is small by construction); scoring is a
-    single pass over df with whole-stage-codegen array arithmetic; the top-k
-    is a window over (probe_id) — shuffle size = rows x probes only if you
-    skip the rank pushdown, so we pre-filter with a per-partition top-k via
-    AQE-friendly window.
+    single pass over df with whole-stage-codegen array arithmetic. The top-k
+    then runs in TWO bounded window stages:
+
+    1. local top-k per (input partition, probe): the window's exchange
+       spreads the n x p scored rows over partitions x probes keys, so no
+       reducer ever sorts more than one partition's rows. (A single window
+       partitioned by probe_id would funnel the entire scored set into p
+       reducer partitions — the thing that falls over at 100x.)
+    2. global per-probe rank over the survivors — the only per-probe
+       shuffle, bounded at partitions x probes x k rows.
+
+    The result is partition-layout-invariant: every true global top-k row is
+    by definition inside its own partition's local top-k, for ANY layout.
+
+    This is still the exact scorer — O(n x p) dot products by definition.
+    For sublinear per-query cost use lsh_topk / ivf_topk (the scale paths).
     """
     vd = F.col(vec_col).cast("array<double>")
     pd_ = F.col(probe_vec_col).cast("array<double>")
-    scored = (df.crossJoin(F.broadcast(probes))
+    scored = (df.withColumn("_part", F.spark_partition_id())
+              .crossJoin(F.broadcast(probes))
               .where(F.col(id_col) != F.col(probe_id_col))
-              .select(F.col(probe_id_col).alias("probe_id"),
+              .select("_part",
+                      F.col(probe_id_col).alias("probe_id"),
                       F.col(id_col).alias("vec_id"),
                       F.round(cosine(vd, pd_), 6).alias("score")))
+    w_local = Window.partitionBy("_part", "probe_id").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    survivors = (scored.withColumn("_lr", F.row_number().over(w_local))
+                 .where(F.col("_lr") <= k)
+                 .drop("_lr", "_part"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (survivors.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
 
 

@@ -25,6 +25,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _topk_round_plan(items: DataFrame, local: DataFrame, k: int,
+                     limit: int) -> tuple[DataFrame, DataFrame]:
+    """One pruning round's lazy plans: (candidates' top-k, cutoff-bound agg).
+
+    The global top-k is orderBy+limit -> TakeOrderedAndProject (each task
+    keeps its local k, the driver merges k-heaps) — never an unpartitioned
+    window over all candidates. The rank window then sees at most k rows;
+    pmod(cnt, 1) is a constant-valued but non-foldable partition key (a bare
+    literal gets folded away and WindowExec would warn "No Partition
+    Defined")."""
+    w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
+    ranked_local = local.withColumn("_r", F.row_number().over(w))
+    candidates = (ranked_local.where(F.col("_r") <= limit)
+                  .select("item").distinct())
+    # upper bound on any non-candidate item's global count: the sum of each
+    # partition's cutoff count (0 if a partition ran out)
+    bound = (ranked_local.where(F.col("_r") == limit)
+             .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("b")))
+    recount = (items.join(F.broadcast(candidates), "item", "leftsemi")
+               .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+    wk = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.desc("cnt"), F.asc("item"))
+    top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+           .withColumn("rank", F.row_number().over(wk).cast("long"))
+           .select("item", "cnt", "rank"))
+    return top, bound
+
+
 def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
                       fudge: int = 4, max_rounds: int = 4) -> DataFrame:
     """Exact top-k items by count: (item, cnt, rank), ties broken by item.
@@ -42,28 +70,8 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
     try:
         for round_ in range(max_rounds):
             limit = k * fudge * (2 ** round_)
-            w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
-            ranked_local = local.withColumn("_r", F.row_number().over(w))
-            candidates = (ranked_local.where(F.col("_r") <= limit)
-                          .select("item").distinct())
-            # upper bound on any non-candidate item's global count: the sum
-            # of each partition's cutoff count (0 if a partition ran out)
-            cutoffs = (ranked_local.where(F.col("_r") == limit)
-                       .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("b"))
-                       .collect()[0]["b"])
-            recount = (items.join(F.broadcast(candidates), "item", "leftsemi")
-                       .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
-            # global top-k as orderBy+limit -> TakeOrderedAndProject (each
-            # task keeps its local k, the driver merges k-heaps) — never an
-            # unpartitioned window over all candidates. The rank window then
-            # sees at most k rows; pmod(cnt, 1) is a constant-valued but
-            # non-foldable partition key (a bare literal gets folded away
-            # and WindowExec would warn "No Partition Defined").
-            wk = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
-                F.desc("cnt"), F.asc("item"))
-            top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
-                   .withColumn("rank", F.row_number().over(wk).cast("long"))
-                   .select("item", "cnt", "rank"))
+            top, bound = _topk_round_plan(items, local, k, limit)
+            cutoffs = bound.collect()[0]["b"]
             # exactness proof: only the k result rows + the scalar bound
             # cross to the driver
             rows = top.collect()
@@ -72,11 +80,12 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
             # candidate) or the k-th candidate strictly beats the best
             # possible non-candidate total
             if cutoffs == 0 or (len(rows) == k and kth > cutoffs):
-                # return the lazy plan (re-executes the bounded recount on
-                # the caller's action; candidate derivation is deterministic
-                # for a fixed input). Callers doing repeated actions should
-                # .cache() the result.
-                return top
+                # materialize the VERIFIED rows: returning the lazy plan
+                # would re-derive candidates via spark_partition_id() on the
+                # caller's action, and a re-execution under different
+                # partitioning (AQE, changed parallelism) could produce a
+                # candidate set the proof above never covered
+                return df.sparkSession.createDataFrame(rows, top.schema)
         raise RuntimeError("top-k candidate pruning failed to verify; "
                            "raise fudge/max_rounds")
     finally:

@@ -139,6 +139,29 @@ def test_brute_force_topk(spark, embeddings):
     assert got[0] == best[0]
 
 
+def test_brute_force_topk_two_phase_plan(spark, embeddings):
+    """The exact top-k must run as two bounded windows — a local
+    per-(partition, probe) top-k, then a global per-probe rank over the
+    O(partitions x probes x k) survivors — never one window funneling all
+    n x p scored rows into p reducers. Also: the result is identical across
+    partition layouts (every global top-k row is in its partition's local
+    top-k for any layout)."""
+    probes = make_probes(spark, embeddings, [0, 1, 2])
+    out = brute_force_topk(embeddings.repartition(7), probes, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("windowspecdefinition") == 2
+    # the local window partitions by (_part, probe_id), and Spark inserts
+    # Partial WindowGroupLimits so each exchange carries <= k rows per
+    # (map task, window key) — both shuffles are k-bounded
+    assert "windowspecdefinition(_part" in plan
+    assert "row_number(), 4, Partial" in plan
+    a = out.toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    b = (brute_force_topk(embeddings.repartition(2), probes, k=4)
+         .toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == 3 * 4
+
+
 def test_lsh_topk_recall(spark, embeddings):
     probes = make_probes(spark, embeddings, [0, 1, 2, 3])
     exact = brute_force_topk(embeddings, probes, k=10).toPandas()
@@ -418,6 +441,33 @@ def test_simhash_multiblock_scheme_lossless(spark):
         assert base == multi
         with pytest.raises(ValueError, match="n_blocks"):
             simhash_near_pairs(sigs, max_hamming=3, n_blocks=3)
+    finally:
+        sigs.unpersist()
+
+
+def test_simhash_wide_blocking_cuts_candidates(spark):
+    """On a skewed corpus (every signature shares a hot 16-bit low block),
+    the minimal 4x16-bit blocking makes EVERY pair a candidate, while the
+    Manku n_blocks=6 wide-key blocking must cut candidates by >10x AND
+    return identical final pairs (blocking is lossless by pigeonhole)."""
+    from sketches_rust_spark.operators.dedup import (
+        simhash_candidates, simhash_near_pairs)
+
+    n = 200
+    fixed_low = 0x2AAA  # shared low 16 bits -> single-block bucket is hot
+    rows = [(i, ((i * 2654435761) % (1 << 42)) << 22 | fixed_low)
+            for i in range(n)]
+    sigs = spark.createDataFrame(rows, ["_id", "simhash"]).cache()
+    try:
+        single = simhash_candidates(sigs, max_hamming=3, n_blocks=4).count()
+        multi = simhash_candidates(sigs, max_hamming=3, n_blocks=6).count()
+        assert single == n * (n - 1) // 2  # hot block: all-pairs candidates
+        assert multi < single / 10
+        p_single = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                    simhash_near_pairs(sigs, max_hamming=3, n_blocks=4).collect()}
+        p_multi = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                   simhash_near_pairs(sigs, max_hamming=3, n_blocks=6).collect()}
+        assert p_single == p_multi
     finally:
         sigs.unpersist()
 

@@ -48,10 +48,17 @@ def test_topk_cms_overestimates_within_bound(spark, documents):
 
 
 def test_topk_exact_plan_has_no_global_window(spark, documents):
-    """The returned plan must take the global top-k via TakeOrderedAndProject
-    (per-task heaps), never an unpartitioned window over all candidates; any
-    Window node must carry a partition spec (bounded, warning-free)."""
-    top = topk_exact_pruned(documents.repartition(7), "lang", k=5)
+    """The round's computation plan must take the global top-k via
+    TakeOrderedAndProject (per-task heaps), never an unpartitioned window
+    over all candidates; any Window node must carry a partition spec
+    (bounded, warning-free)."""
+    from pyspark.sql import functions as F
+    from sketches_rust_spark.operators.topk import _topk_round_plan
+
+    items = documents.repartition(7).select(F.col("lang").alias("item"))
+    local = (items.withColumn("_p", F.spark_partition_id())
+             .groupBy("_p", "item").agg(F.count(F.lit(1)).alias("c")))
+    top, _ = _topk_round_plan(items, local, k=5, limit=20)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     for line in plan.splitlines():
@@ -61,10 +68,13 @@ def test_topk_exact_plan_has_no_global_window(spark, documents):
             assert "specifiedwindowframe" in line.lower() or ", [" in line
 
 
-def test_topk_exact_result_is_lazy_and_recomputable(spark, documents):
-    """Verification collects only k rows; the returned DataFrame is a lazy
-    plan that recomputes to the same result."""
+def test_topk_exact_result_is_materialized_verified_rows(spark, documents):
+    """The returned result IS the verified execution (a local relation of
+    the k collected rows) — re-collecting cannot re-derive candidates under
+    a different partitioning than the proof covered."""
     top = topk_exact_pruned(documents.repartition(7), "lang", k=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     first = top.collect()
     second = top.collect()
     assert first == second
