@@ -94,6 +94,46 @@ def main() -> None:
     print("- false negatives: 0 (guaranteed); measured fpr on 500k non-members: "
           f"{bf.might_contain_hashes(probes).mean():.5f}\n")
 
+    # IVF ANN recall vs n_probe — numpy replica of operators/similarity.py
+    # ivf_topk (md5 centroid seeds, cosine argmax assignment, top-n_probe
+    # cluster probing); the Spark plan is oracle-pinned to this exact math.
+    import hashlib
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id").df()
+    ids = emb["vec_id"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    n_cent, k, probe_ids = 16, 10, [0, 1, 2, 3, 4]
+    h = np.array([int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                  for i in ids], dtype=np.uint64)
+    cent_rows = np.lexsort((ids, h))[:n_cent]
+    cents = unit[cent_rows]
+    sim_c = unit @ cents.T
+    assign = np.argmax(sim_c, axis=1)  # argmax ties -> lowest c, as in Spark
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    exact = {(p, ids[j]) for p in probe_ids
+             for j in np.argsort(-np.round(sims[p], 6) + ids * 1e-12)[:k]}
+    print(f"## IVF ANN recall@{k} vs n_probe "
+          f"({len(ids)} embeddings, {n_cent} centroids, probes {probe_ids})\n")
+    print("| n_probe | fraction of corpus scanned | recall vs exact |")
+    print("|---|---|---|")
+    for n_probe in (1, 2, 4, 8, 16):
+        got = set()
+        for p in probe_ids:
+            clusters = np.argsort(-sim_c[p])[:n_probe]
+            cand = np.flatnonzero(np.isin(assign, clusters) & (ids != p))
+            top = cand[np.argsort(-np.round(sims[p][cand], 6)
+                                  + ids[cand] * 1e-12)[:k]]
+            got |= {(p, ids[j]) for j in top}
+        frac = np.isin(assign, np.arange(n_cent)).mean() if n_probe >= n_cent \
+            else sum(np.isin(assign, np.argsort(-sim_c[p])[:n_probe]).mean()
+                     for p in probe_ids) / len(probe_ids)
+        print(f"| {n_probe} | {frac:.3f} | {len(got & exact) / len(exact):.3f} |")
+    print()
+
 
 if __name__ == "__main__":
     main()

@@ -101,11 +101,11 @@ def main() -> None:
             t0 = time.perf_counter()
             agg = ddsketch_aggregate_weighted(feats, "text_len", "w",
                                               ["lang", "day"], cfg)
+            # rows_in here is the accepted WEIGHT SUM (the sketch count) —
+            # reported as-is; n_input goes out as a separate field so input
+            # rows/sec stays comparable to the unweighted jobs
             out = agg.select("lang", "day", p99("sketch").alias("p99"),
-                             F.lit(0).alias("rows_in")).collect()
-            # rows_in would be the weight sum here; report input rows instead
-            out = [{"rows_in": n_input}] if not out else (
-                [{"rows_in": n_input}] + [{"rows_in": 0}] * (len(out) - 1))
+                             "rows_in").collect()
             return time.perf_counter() - t0, out
     elif job == "sql_e2e_pages":
         from sketches_rust_spark.functions.ddsketch_sql import ddsketch_aggregate_sql
@@ -140,7 +140,7 @@ def main() -> None:
     dt = statistics.median(times)
 
     total_rows = sum(r["rows_in"] for r in out)
-    print(json.dumps({
+    payload = {
         "job": job,
         "cpus": cpus,
         "rows": total_rows,
@@ -149,7 +149,12 @@ def main() -> None:
         "cold_seconds": round(warm_dt, 3),
         "all_timed_runs": [round(t, 3) for t in times],
         "groups": len(out),
-    }))
+    }
+    if job == "weighted_sql_build":
+        # rows/rows_per_sec above are the accepted weight sum (sketch count);
+        # n_input is the raw input row count for cross-job comparability
+        payload["n_input"] = n_input
+    print(json.dumps(payload))
     spark.stop()
 
 

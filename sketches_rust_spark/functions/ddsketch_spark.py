@@ -230,6 +230,11 @@ def ddsketch_aggregate_weighted(
     narrow = df.select(*keys,
                        F.col(value_col).cast("double").alias("_v"),
                        F.col(weight_col).cast("double").alias("_w"))
+    # same contract as the SQL path: invalid weights drop JVM-side, so a
+    # group whose every row is dropped vanishes on BOTH branches, and
+    # rows_in is the accepted weight sum (== sketch count) on both
+    narrow = narrow.where(F.col("_w").isNotNull() & ~F.isnan("_w")
+                          & (F.col("_w") > 0))
     out_schema = StructType(
         _key_fields(narrow, keys)
         + [StructField(SKETCH_COL, BinaryType(), False),
@@ -242,7 +247,7 @@ def ddsketch_aggregate_weighted(
                        pdf["_w"].to_numpy(np.float64, na_value=np.nan))
         head = {k: pdf[k].iloc[0] for k in keys}
         head[SKETCH_COL] = sk.encode()
-        head[ROWS_COL] = len(pdf)
+        head[ROWS_COL] = int(sk.get_count())
         return pd.DataFrame([head], columns=keys + [SKETCH_COL, ROWS_COL])
 
     if keys:

@@ -174,20 +174,41 @@ def ddsketch_aggregate_sql(
         ddsketch_histogram(df, value_col, keys, config, weight_col), keys, config)
 
 
-def _require_unbounded(config: SketchConfig) -> DDSketch:
-    """Walk helpers (stats/quantiles over the raw histogram) do not apply the
-    collapsing fold, so results would diverge from the blob path for
-    collapsing presets once the bucket cap triggers. Restrict to unbounded
-    presets (use blobs_from_histogram + the quantile UDF for collapsing)."""
-    proto = _require_log_mapping(config)
-    if "collapsing" in config.preset:
-        raise ValueError(
-            "ddsketch_stats_sql/ddsketch_quantiles_sql compute over the raw "
-            "uncollapsed histogram; collapsing presets would diverge from the "
-            "blob path once max_num_bins triggers. Use the "
-            "'logarithmic_unbounded_size_dense_store' preset here, or build "
-            "blobs via ddsketch_aggregate_sql and extract with the UDFs.")
-    return proto
+def collapse_histogram(
+    hist: DataFrame,
+    keys: Sequence[str],
+    config: SketchConfig,
+) -> DataFrame:
+    """Apply a collapsing preset's bucket cap relationally: clamp idx into
+    the kept index range per (group, side) with ONE window over the bounded
+    histogram (<= #buckets rows per group), then re-aggregate the folded
+    buckets. No-op for unbounded presets.
+
+    This equals DenseStore._clamp_batch applied to the whole group at once
+    (the order-insensitive collapse the blob build performs — reference
+    semantics /root/reference/src/store/collapsing_lowest.rs:83-122 with the
+    sticky-collapse order dependence removed, proven equivalent in
+    tests/test_store.py): collapsing-lowest keeps the top max_num_bins index
+    RANGE per store, folding lower buckets into floor = max_idx - bins + 1;
+    collapsing-highest mirrors it. The two stores (side = +-1) collapse
+    independently, exactly like the sketch's positive/negative stores; the
+    zero bucket is untouched."""
+    if "collapsing" not in config.preset:
+        return hist
+    from pyspark.sql import Window
+
+    mb = config.max_num_bins
+    keys = list(keys)
+    w = Window.partitionBy(*keys, "side")
+    if "lowest" in config.preset:
+        floor = F.max("idx").over(w) - F.lit(mb - 1)
+        clamped = F.greatest(F.col("idx"), floor)
+    else:
+        ceil = F.min("idx").over(w) + F.lit(mb - 1)
+        clamped = F.least(F.col("idx"), ceil)
+    new_idx = F.when(F.col("side") == 0, F.col("idx")).otherwise(clamped)
+    return (hist.withColumn("idx", new_idx)
+            .groupBy(*keys, "side", "idx").agg(F.sum("c").alias("c")))
 
 
 def ddsketch_stats_sql(
@@ -200,11 +221,15 @@ def ddsketch_stats_sql(
 ) -> DataFrame:
     """Fully-JVM sketch statistics from the histogram: exact count plus
     estimated sum/avg/min/max (spec sketch.rs:70-133 semantics: min/max are
-    the representative values of the extreme buckets)."""
-    proto = _require_unbounded(config)
+    the representative values of the extreme buckets). Collapsing presets
+    apply their bucket-cap fold first (collapse_histogram), matching the
+    blob path exactly."""
+    proto = _require_log_mapping(config)
     m = proto.index_mapping
     keys = list(keys)
-    hist = ddsketch_histogram(df, value_col, keys, config, weight_col)
+    hist = collapse_histogram(
+        ddsketch_histogram(df, value_col, keys, config, weight_col),
+        keys, config)
     bucket_value = (
         F.when(F.col("side") == 0, F.lit(0.0))
         .otherwise(F.col("side") * F.exp(F.col("idx") / F.lit(m.multiplier))
@@ -269,13 +294,20 @@ def ddsketch_quantiles_sql(
     weight_col: weighted quantiles — rank runs over cumulative weight. The
     whole weighted build stays in Tungsten (sum(weight) partial aggregate);
     no raw row ever crosses a shuffle or the Arrow boundary.
+
+    Collapsing presets (the reference's headline bounded-memory factories,
+    spec sketch.rs:298-337) apply their bucket-cap fold relationally first
+    (collapse_histogram) — the walk then runs over the collapsed histogram
+    and matches the blob+UDF path exactly, still with zero Python operators.
     """
     from pyspark.sql import Window
 
-    proto = _require_unbounded(config)
+    proto = _require_log_mapping(config)
     m = proto.index_mapping
     keys = list(keys)
-    hist = ddsketch_histogram(df, value_col, keys, config, weight_col)
+    hist = collapse_histogram(
+        ddsketch_histogram(df, value_col, keys, config, weight_col),
+        keys, config)
 
     walk_order = F.col("side").asc(), F.when(
         F.col("side") == -1, -F.col("idx")).otherwise(F.col("idx")).asc()

@@ -53,6 +53,8 @@ def ddsketch_quantile_oracle_sql(
     alpha: float,
     where: str = "",
     weight_expr: str = "",
+    collapse: str | None = None,
+    max_bins: int = 0,
 ) -> str:
     """Full two-sided DDSketch quantile estimate in SQL.
 
@@ -60,6 +62,10 @@ def ddsketch_quantile_oracle_sql(
     ROUND_DIGITS; group columns pass through under their own names.
     weight_expr: optional per-row weight (weighted insert semantics —
     non-positive/NaN weights dropped, matching DDSketch.accept_many).
+    collapse: 'lowest' | 'highest' applies the collapsing store's bucket cap
+    (keep the top/bottom max_bins index RANGE per (group, side), fold the
+    rest into the boundary bucket) before the walk — the order-insensitive
+    collapse the engine's stores implement.
     """
     mult, ra, min_indexed = log_mapping_params(alpha)
     side, idx = _bucket_exprs(mult, min_indexed)
@@ -82,6 +88,28 @@ def ddsketch_quantile_oracle_sql(
         f"round(min(CASE WHEN cum > {q!r} * (n - 1) THEN bv END), {ROUND_DIGITS}) AS {name}"
         for name, q in quantiles.items()
     )
+    if collapse is None:
+        collapse_ctes = ""
+        walk_src = "buckets"
+    else:
+        spart = f"PARTITION BY {gsel + ', ' if group_cols else ''}side"
+        if collapse == "lowest":
+            clamp = f"greatest(idx, max(idx) OVER ({spart}) - {max_bins - 1})"
+        elif collapse == "highest":
+            clamp = f"least(idx, min(idx) OVER ({spart}) + {max_bins - 1})"
+        else:
+            raise ValueError(f"collapse must be lowest/highest, got {collapse}")
+        collapse_ctes = f""",
+clamped AS (
+  SELECT {gpre}side, CASE WHEN side = 0 THEN idx ELSE {clamp} END AS idx, c
+  FROM buckets
+),
+folded AS (
+  SELECT {gpre}side, idx, sum(c) AS c
+  FROM clamped
+  GROUP BY {'ALL' if not group_cols else gsel + ', side, idx'}
+)"""
+        walk_src = "folded"
     return f"""
 WITH vals AS (
   SELECT {gpre}CAST({value_expr} AS DOUBLE) AS v, {wsel}
@@ -92,13 +120,13 @@ buckets AS (
   SELECT {gpre}{side} AS side, {idx} AS idx, {agg_c} AS c
   FROM vals
   GROUP BY {'ALL' if not group_cols else gsel + ', side, idx'}
-),
+){collapse_ctes},
 walk AS (
   SELECT {gpre}side, idx, c, {bucket_value} AS bv,
          sum(c) OVER ({part}
            ORDER BY side ASC, (CASE WHEN side = -1 THEN -idx ELSE idx END) ASC) AS cum,
          sum(c) OVER ({part}) AS n
-  FROM buckets
+  FROM {walk_src}
 )
 SELECT {gpre}{qcols}
 FROM walk

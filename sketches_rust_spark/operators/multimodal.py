@@ -252,8 +252,9 @@ WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
                   length({text_col}) AS n FROM {table})
 SELECT media_id,
        round(CAST(n AS DOUBLE) / {_FAKE_SAMPLE_RATE}, {digits}) AS duration_s,
-       round((list_aggregate(list_transform(range(1, n + 1),
-                i -> CAST(abs(ascii(text[i]) - 128) AS DOUBLE)), 'sum') / n)
+       round((coalesce(list_aggregate(list_transform(range(1, n + 1),
+                i -> CAST(abs(ascii(text[i]) - 128) AS DOUBLE)), 'sum'), 0.0)
+              / greatest(n, 1))
              / 128, {digits}) AS mean_amp,
        CAST(n AS BIGINT) AS n_bytes
 FROM m

@@ -134,6 +134,56 @@ def hll_union_sql_query(table: str, id_expr: str, group_col: str,
     return run
 
 
+def cms_union_sql_query(table: str, id_expr: str, group_col: str,
+                        probes: list[int], depth: int = 5, width: int = 4096):
+    """CMS merge through the SQL surface: per-group CMS partials as a temp
+    view, merged with the registered ``cms_merge`` GROUPED_AGG UDF inside
+    spark.sql, then point-probed. Counter additivity makes the merged CMS
+    equal a build over the unioned rows — the exact counter-replica oracle
+    therefore pins the SQL merge path end-to-end."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            cms_adapter, register_sibling_sql, sketch_aggregate)
+        register_sibling_sql(spark, cms_depth=depth, cms_width=width)
+        df = load(spark, sf_dir, table).select(
+            F.col(group_col).alias("_g"),
+            F.expr(id_expr).cast("long").alias("_id"))
+        parts = sketch_aggregate(df, "_id", ["_g"],
+                                 cms_adapter(depth, width, "splitmix"))
+        parts.createOrReplaceTempView("cms_union_parts")
+        _probe_df(spark, probes).createOrReplaceTempView("cms_union_probes")
+        return spark.sql(
+            "SELECT p.probe, cms_point_estimate(m.sk, p._h) AS est "
+            "FROM (SELECT cms_merge(sketch) AS sk FROM cms_union_parts) m "
+            "CROSS JOIN cms_union_probes p")
+    return run
+
+
+def bloom_union_sql_query(table: str, id_expr: str, group_col: str,
+                          group_vals: list[str], probes: list[int],
+                          m_bits: int = 1 << 18, k: int = 7):
+    """Bloom merge through the SQL surface: per-group bitsets OR-merged with
+    the registered ``bloom_merge`` UDF in spark.sql (bitset OR == bloom of
+    the unioned rows), membership-probed; bit-position-identical oracle."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            bloom_adapter, register_sibling_sql, sketch_aggregate)
+        register_sibling_sql(spark, bloom_m=m_bits, bloom_k=k)
+        df = (load(spark, sf_dir, table)
+              .where(F.col(group_col).isin(group_vals))
+              .select(F.col(group_col).alias("_g"),
+                      F.expr(id_expr).cast("long").alias("_id")))
+        parts = sketch_aggregate(df, "_id", ["_g"],
+                                 bloom_adapter(m_bits, k, "splitmix"))
+        parts.createOrReplaceTempView("bloom_union_parts")
+        _probe_df(spark, probes).createOrReplaceTempView("bloom_union_probes")
+        return spark.sql(
+            "SELECT p.probe, bloom_might_contain(m.sk, p._h) AS member "
+            "FROM (SELECT bloom_merge(sketch) AS sk FROM bloom_union_parts) m "
+            "CROSS JOIN bloom_union_probes p")
+    return run
+
+
 def ddsketch_sql_surface_query(table: str, value_expr: str, group_col: str,
                                quantiles: dict[str, float],
                                alpha: float = ALPHA):
@@ -222,12 +272,13 @@ def quantile_rank_check_query(kind: str, table: str, value_expr: str,
         else:
             adapter, qudf = kll_adapter(), kll_quantile
         # the narrow input feeds BOTH the sketch build and the exact rank
-        # recount; without a cache that is two full scans per query (the
-        # round-2 bench regression). cache() shares the one scan.
+        # recount — two scans by design, NOT cached: measured at sf0.1, the
+        # column-pruned parquet re-scan is ~free while .cache() costs more
+        # (kll 1.06s uncached vs 1.23-6.1s cached; the InMemoryRelation
+        # write + storage reads lose to the vectorized parquet reader)
         df = (load(spark, sf_dir, table)
               .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
-              .where(F.col("_v").isNotNull())
-              .cache())
+              .where(F.col("_v").isNotNull()))
         agg = sketch_aggregate(df, "_v", groups, adapter)
         ests = agg.select(
             *groups, *[qudf("sketch", F.lit(q)).alias(f"_e_{name}")
@@ -304,12 +355,11 @@ def cubic_bound_check_query(table: str, value_expr: str, groups: list[str],
     interpolation (wrong bucket boundaries) would be far outside 2*alpha
     and flip the hash red."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # cached: feeds both the sketch build and the exact bound recount
-        # (one scan, not two — see quantile_rank_check_query)
+        # two scans by design, NOT cached — the column-pruned parquet
+        # re-scan beats cache materialization (see quantile_rank_check_query)
         df = (load(spark, sf_dir, table)
               .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
-              .where(F.col("_v").isNotNull() & (F.col("_v") > 0))
-              .cache())
+              .where(F.col("_v").isNotNull() & (F.col("_v") > 0)))
         cfg = SketchConfig("unbounded_dense", alpha, 0)  # LogCubic mapping
         agg = ddsketch_aggregate(df, "_v", groups, cfg)
         ests = agg.select(
@@ -339,6 +389,100 @@ FROM {table}
 WHERE {value_expr} IS NOT NULL AND {value_expr} > 0
 GROUP BY {gsel}
 """
+
+
+def multi_feature_query(quantiles: dict[str, float], alpha: float = ALPHA):
+    """One-pass multi-feature sketching (ddsketch_aggregate_multi): N
+    features unpivot via stack() inside the same whole-stage-codegen
+    pipeline, so 3 features cost ONE scan of documents, not 3 jobs —
+    the call a real feature pipeline makes most. Output: per (feature,
+    lang) quantiles from the resulting blobs."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.ddsketch_sql import ddsketch_aggregate_multi
+        df = load(spark, sf_dir, "documents").select(
+            "lang",
+            F.length("text").cast("double").alias("text_len"),
+            F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+            F.col("n_chars").cast("double").alias("n_chars"))
+        agg = ddsketch_aggregate_multi(
+            df, ["text_len", "n_tokens", "n_chars"], ["lang"], _cfg(alpha))
+        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(n)
+                for n, q in quantiles.items()]
+        return agg.select("feature", "lang", *cols)
+    return run
+
+
+def multi_feature_oracle_sql(quantiles: dict[str, float],
+                             alpha: float = ALPHA) -> str:
+    exprs = {"text_len": "length(text)",
+             "n_tokens": "len(string_split(text, ' '))",
+             "n_chars": "n_chars"}
+    parts = [
+        f"SELECT '{feat}' AS feature, * FROM ("
+        + ddsketch_quantile_oracle_sql("documents", expr, ["lang"],
+                                       quantiles, alpha)
+        + ")"
+        for feat, expr in exprs.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def collapsed_quantile_query(table: str, value_expr: str, groups: list[str],
+                             quantiles: dict[str, float],
+                             alpha: float = ALPHA, max_bins: int = 64):
+    """The reference's headline bounded-memory preset
+    (logarithmic_collapsing_lowest_dense, spec sketch.rs:298-337) on the
+    fully-JVM plan: histogram -> one-window collapse fold -> quantile walk,
+    zero Python operators. max_bins is chosen small enough that the cap
+    TRIGGERS on this data (low quantiles land in the folded floor bucket),
+    so the oracle pins the collapse math itself, not just the walk."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v"))
+        cfg = SketchConfig("logarithmic_collapsing_lowest_dense", alpha, max_bins)
+        return ddsketch_quantiles_sql(df, "_v", groups, quantiles, cfg,
+                                      round_digits=ROUND_DIGITS)
+    return run
+
+
+def streaming_quantile_query(table: str, value_expr: str, key: str,
+                             quantiles: dict[str, float],
+                             alpha: float = ALPHA, n_files: int = 4):
+    """Structured Streaming under the hard oracle: replays the table through
+    ``stream_sketch_partials`` (availableNow + maxFilesPerTrigger=1 ->
+    several real micro-batches appending partial blobs), then INJECTS a
+    duplicate copy of one batch's partial rows into the sink — simulating
+    the retry a foreachBatch sink can see (at-least-once) — and merges with
+    ``merged_stream_result``. The (keys, batch_id) dedup is what makes the
+    final quantiles equal the batch oracle; without it the duplicated batch
+    would double-count and flip the hash red."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from ..streaming.sketch_stream import (
+            merged_stream_result, stream_sketch_partials)
+
+        base = tempfile.mkdtemp(prefix="sketch_stream_q_")
+        in_dir, sink, ckpt = f"{base}/in", f"{base}/sink", f"{base}/ckpt"
+        cfg = _cfg(alpha)
+        df = load(spark, sf_dir, table).select(
+            key, F.expr(value_expr).cast("double").alias("_v"))
+        df.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = stream_sketch_partials(stream, "_v", [key], cfg, sink, ckpt)
+        q.awaitTermination()
+        # duplicate-batch injection (retry simulation): re-append the first
+        # micro-batch's partial rows verbatim
+        parts = spark.read.parquet(sink)
+        min_b = parts.agg(F.min("batch_id")).collect()[0][0]
+        (parts.where(F.col("batch_id") == min_b)
+         .write.mode("append").parquet(sink))
+        merged = merged_stream_result(spark, sink, [key], cfg)
+        cols = [F.round(make_quantile_udf(qv)("sketch"), ROUND_DIGITS).alias(n)
+                for n, qv in quantiles.items()]
+        return merged.select(key, *cols)
+    return run
 
 
 def per_day_quantile_query():
@@ -565,6 +709,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_weighted_price_by_flag": weighted_quantile_query(
         "lineitem", "l_extendedprice", "l_quantity", ["l_returnflag"],
         {"p50": 0.5, "p99": 0.99}),
+    "ddsketch_collapsed_quantiles": collapsed_quantile_query(
+        "documents", "length(text)", ["lang"],
+        {"p01": 0.01, "p10": 0.1, "p50": 0.5, "p99": 0.99}, max_bins=64),
+    "ddsketch_multi_feature_quantiles": multi_feature_query(
+        {"p50": 0.5, "p99": 0.99}),
     "ddsketch_cubic_textlen_by_lang": cubic_quantile_query(
         "documents", "length(text)", ["lang"], _P503),
     "ddsketch_cubic_bound_check": cubic_bound_check_query(
@@ -575,6 +724,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "value - 100.0", ["event_type"]),
     "ddsketch_textlen_by_lang_pandas_path": sketch_quantile_query(
         "documents", "length(text)", ["lang"], _P503, path="pandas"),
+    "streaming_quantiles_events": streaming_quantile_query(
+        "events", "value", "event_type", {"p50": 0.5, "p99": 0.99}),
     "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
     "hll_union_events_sql": hll_union_sql_query(
         "events", "user_id", "event_type", ["purchase", "click"], p=14),
@@ -584,6 +735,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lineitem", "l_partkey", ["l_returnflag"], p=14),
     "cms_user_event_counts": cms_probe_query(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
+    "cms_union_events_sql": cms_union_sql_query(
+        "events", "user_id", "event_type", _CMS_PROBES, depth=5, width=2048),
+    "bloom_union_events_sql": bloom_union_sql_query(
+        "events", "user_id", "event_type", ["purchase", "click"],
+        _BLOOM_PROBES, m_bits=1 << 17, k=5),
     "bloom_purchase_users": bloom_probe_query(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),
@@ -667,6 +823,12 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_weighted_price_by_flag": ddsketch_quantile_oracle_sql(
         "lineitem", "l_extendedprice", ["l_returnflag"],
         {"p50": 0.5, "p99": 0.99}, ALPHA, weight_expr="l_quantity"),
+    "ddsketch_collapsed_quantiles": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"],
+        {"p01": 0.01, "p10": 0.1, "p50": 0.5, "p99": 0.99}, ALPHA,
+        collapse="lowest", max_bins=64),
+    "ddsketch_multi_feature_quantiles": multi_feature_oracle_sql(
+        {"p50": 0.5, "p99": 0.99}),
     # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
     # SQL-expressible; golden vectors + pytest error bounds cover it).
     # ddsketch_cubic_bound_check turns the alpha guarantee into
@@ -679,6 +841,10 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "events", "value - 100.0", ["event_type"], ALPHA),
     "ddsketch_textlen_by_lang_pandas_path": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], _P503, ALPHA),
+    # streaming partials + retry-duplicate + merge-on-read must equal the
+    # one-shot batch sketch (mergeability + (keys, batch_id) dedup)
+    "streaming_quantiles_events": ddsketch_quantile_oracle_sql(
+        "events", "value", ["event_type"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_users_by_event_type": hll_oracle_sql("events", "user_id", ["event_type"], 14),
     "hll_union_events_sql": hll_oracle_sql(
         "events", "user_id", [], 14,
@@ -689,6 +855,13 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "lineitem", "l_partkey", ["l_returnflag"], 14),
     "cms_user_event_counts": cms_oracle_sql(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
+    # SQL-merged per-group CMS == CMS over all rows (counter additivity)
+    "cms_union_events_sql": cms_oracle_sql(
+        "events", "user_id", _CMS_PROBES, depth=5, width=2048),
+    # SQL-merged per-group Blooms == bloom over the unioned groups' rows
+    "bloom_union_events_sql": bloom_oracle_sql(
+        "events", "user_id", _BLOOM_PROBES, m_bits=1 << 17, k=5,
+        where="event_type IN ('purchase', 'click')"),
     "bloom_purchase_users": bloom_oracle_sql(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),

@@ -230,6 +230,67 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     return best
 
 
+def write_clustered_corpus(df: DataFrame, path: str, table: str,
+                           n_centroids: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroids_table: str | None = None) -> None:
+    """Persist the IVF build product: the corpus with its cluster assignment,
+    PARTITIONED BY cluster — the inverted file on disk. A query then reads
+    only its n_probe clusters' directories (partition pruning at the scan:
+    n_probe/n_centroids of the bytes), instead of re-assigning the corpus
+    per query. The centroid table (n_centroids tiny rows) is saved alongside
+    for probe-side routing. Analogous to write_bucketed_signatures for LSH.
+    """
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = (df.join(ivf_assign(df, cents, id_col, vec_col),
+                        F.col(id_col) == F.col("_id"))
+                .drop("_id"))
+    (assigned.write.mode("overwrite").format("parquet")
+     .partitionBy("cluster")
+     .option("path", path).saveAsTable(table))
+    if centroids_table is not None:
+        (cents.write.mode("overwrite").format("parquet")
+         .option("path", f"{path}__centroids").saveAsTable(centroids_table))
+
+
+def ivf_topk_clustered(spark, table: str, probes: DataFrame, k: int,
+                       n_probe: int,
+                       centroids_table: str | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       probe_id_col: str = "probe_id",
+                       probe_vec_col: str = "probe_vec") -> DataFrame:
+    """Query path over a persisted clustered corpus (write_clustered_corpus):
+    route each probe to its n_probe nearest centroids, then scan ONLY those
+    cluster partitions (the `cluster IN (...)` filter prunes at the file
+    level). Same scoring/rank contract as ivf_topk."""
+    corpus = spark.table(table)
+    cents = (spark.table(centroids_table) if centroids_table
+             else ivf_centroids(corpus, n_centroids=int(
+                 corpus.select(F.max("cluster")).first()[0]) + 1,
+                 id_col=id_col, vec_col=vec_col))
+    pv = F.col(probe_vec_col).cast("array<double>")
+    cd = F.col("cvec").cast("array<double>")
+    pscore = (probes.crossJoin(F.broadcast(cents))
+              .select(probe_id_col, probe_vec_col, "c",
+                      cosine(pv, cd).alias("_s")))
+    wp = Window.partitionBy(probe_id_col).orderBy(F.desc("_s"), F.asc("c"))
+    probed = (pscore.withColumn("_r", F.row_number().over(wp))
+              .where(F.col("_r") <= n_probe)
+              .select(probe_id_col, probe_vec_col,
+                      F.col("c").alias("cluster")))
+    cand = (corpus.join(F.broadcast(probed), "cluster")
+            .where(F.col(id_col) != F.col(probe_id_col)))
+    vd = F.col(vec_col).cast("array<double>")
+    scored = cand.select(F.col(probe_id_col).alias("probe_id"),
+                         F.col(id_col).alias("vec_id"),
+                         F.round(cosine(vd, pv), 6).alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
 def ivf_topk(df: DataFrame, probes: DataFrame, k: int,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -180,17 +180,58 @@ def test_weighted_quantiles_sql_partition_invariant(spark):
     assert (a["p50"], a["p99"]) == (b["p50"], b["p99"])
 
 
-def test_walk_helpers_reject_collapsing_presets(spark, documents):
-    """stats/quantiles walk the raw histogram and never apply the collapse
-    fold — collapsing presets must be rejected rather than silently diverge
-    from the blob path."""
-    from sketches_rust_spark.functions.ddsketch_sql import ddsketch_stats_sql
+def test_walk_collapsing_preset_matches_blob_path(spark, documents):
+    """Collapsing presets ride the JVM walk via the relational collapse fold
+    (one window clamp + re-aggregate). Must (a) actually trigger the cap on
+    this data — low quantiles fold into the floor bucket — and (b) equal the
+    blob path (store-side clamp) exactly, since both bucket JVM-side."""
+    from sketches_rust_spark.functions.ddsketch_sql import (
+        blobs_from_histogram, ddsketch_histogram)
 
     df = documents.withColumn("v", F.length("text").cast("double"))
-    with pytest.raises(ValueError, match="collapsing"):
-        ddsketch_quantiles_sql(df, "v", ["lang"], {"p50": 0.5}, CFG_COLLAPSING)
-    with pytest.raises(ValueError, match="collapsing"):
-        ddsketch_stats_sql(df, "v", ["lang"], CFG_COLLAPSING)
+    qs = {"p01": 0.01, "p10": 0.1, "p50": 0.5, "p99": 0.99}
+    walked = {r["lang"]: [r[n] for n in qs]
+              for r in ddsketch_quantiles_sql(df, "v", ["lang"], qs,
+                                              CFG_COLLAPSING).collect()}
+    unbounded = {r["lang"]: [r[n] for n in qs]
+                 for r in ddsketch_quantiles_sql(df, "v", ["lang"], qs,
+                                                 CFG).collect()}
+    # (a) the 64-bin cap folds the low tail: p01 must differ from unbounded
+    assert any(walked[g][0] != unbounded[g][0] for g in walked)
+    # (b) exact agreement with blobs built from the same JVM histogram
+    # (store-side collapse in blobs_from_histogram vs the window fold)
+    blobs = blobs_from_histogram(
+        ddsketch_histogram(df, "v", ["lang"], CFG_COLLAPSING),
+        ["lang"], CFG_COLLAPSING)
+    via_blob = {
+        r["lang"]: [r[n] for n in qs]
+        for r in blobs.select(
+            "lang", *[make_quantile_udf(q)("sketch").alias(n)
+                      for n, q in qs.items()]).collect()}
+    for g, vals in walked.items():
+        assert vals == pytest.approx(via_blob[g], abs=1e-9), g
+
+
+def test_stats_collapsing_preset_matches_blob_extremes(spark, documents):
+    """ddsketch_stats_sql with a collapsing preset: min_est must be the
+    representative of the FOLDED floor bucket (not the raw min bucket),
+    matching the blob path's get_min."""
+    from sketches_rust_spark.functions.ddsketch_sql import (
+        ddsketch_aggregate_sql, ddsketch_stats_sql)
+    from sketches_rust_spark.kernel.sketch import DDSketch
+
+    df = documents.withColumn("v", F.length("text").cast("double"))
+    stats = {r["lang"]: (r["cnt"], r["min_est"], r["max_est"])
+             for r in ddsketch_stats_sql(df, "v", ["lang"],
+                                         CFG_COLLAPSING).collect()}
+    blobs = {r["lang"]: bytes(r["sketch"])
+             for r in ddsketch_aggregate_sql(df, "v", ["lang"],
+                                             CFG_COLLAPSING).collect()}
+    for g, (cnt, mn, mx) in stats.items():
+        sk = DDSketch.decode(blobs[g])
+        assert cnt == sk.get_count()
+        assert mn == pytest.approx(sk.get_min(), abs=1e-9)
+        assert mx == pytest.approx(sk.get_max(), abs=1e-9)
 
 
 def test_weighted_logcubic_falls_back_to_pandas_build(spark):

@@ -517,3 +517,54 @@ def test_write_bucketed_signatures_roundtrip(spark, embeddings, tmp_path):
     key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
     assert sorted(inline, key=key) == sorted(via_table, key=key)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_write_clustered_corpus_and_pruned_query(spark, embeddings, tmp_path):
+    """The persisted inverted file (corpus partitioned by cluster) must
+    serve ivf queries with results identical to the inline assignment, and
+    the scan must prune to the probed cluster partitions (partition filter
+    visible in the plan)."""
+    from sketches_rust_spark.operators.similarity import (
+        ivf_topk, ivf_topk_clustered, make_probes, write_clustered_corpus)
+
+    table, ctable = "emb_ivf_test", "emb_ivf_cents_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {ctable}")
+    write_clustered_corpus(embeddings, str(tmp_path / "emb_ivf"), table,
+                           n_centroids=8, centroids_table=ctable)
+    probes = make_probes(spark, embeddings, [0, 1, 2])
+    inline = ivf_topk(embeddings, probes, k=5, n_centroids=8, n_probe=3)
+    via_table = ivf_topk_clustered(spark, table, probes, k=5, n_probe=3,
+                                   centroids_table=ctable)
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    assert sorted(inline.collect(), key=key) == sorted(
+        via_table.collect(), key=key)
+    # cluster is a partition column of the saved table -> the probed-cluster
+    # join prunes at the file level (PartitionFilters on the scan)
+    plan = via_table._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {ctable}")
+
+
+def test_ivf_recall_vs_n_probe_sweep(spark, embeddings):
+    """Recall against exact top-k must be monotone-ish in n_probe and reach
+    1.0 when probing every centroid (records the recall curve the docs
+    cite)."""
+    from sketches_rust_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, make_probes)
+
+    probe_ids = [0, 1, 2, 3, 4]
+    k, n_cent = 10, 16
+    probes = make_probes(spark, embeddings, probe_ids)
+    exact = {(r["probe_id"], r["vec_id"])
+             for r in brute_force_topk(embeddings, probes, k=k).collect()}
+    recalls = {}
+    for n_probe in (1, 4, 16):
+        got = {(r["probe_id"], r["vec_id"])
+               for r in ivf_topk(embeddings, probes, k=k,
+                                 n_centroids=n_cent, n_probe=n_probe).collect()}
+        recalls[n_probe] = len(got & exact) / len(exact)
+    assert recalls[16] == 1.0          # probing everything == brute force
+    assert recalls[4] >= recalls[1] - 0.05  # more probes, no real recall loss
+    assert recalls[1] > 0.2            # single-cluster probe finds something
