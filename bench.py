@@ -37,7 +37,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = build_spark(CPUS)
-    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/py-worker warmup
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # Python-worker warmup: the FIRST pandas-UDF stage of a session pays
+    # daemon spin-up + module imports (~2 s, measured); warm the pool so
+    # per-query timings measure the engine, not interpreter startup
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import sketches_rust_spark.kernel.sketch  # noqa: F401
+        for b in batches:
+            yield b
+    spark.range(int(CPUS) * 2, numPartitions=int(CPUS)).mapInPandas(
+        _warm, "id long").count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

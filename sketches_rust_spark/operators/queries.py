@@ -391,6 +391,27 @@ GROUP BY {gsel}
 """
 
 
+def salted_quantile_query(table: str, value_expr: str, groups: list[str],
+                          quantiles: dict[str, float], alpha: float = ALPHA,
+                          num_salts: int = 16):
+    """Skew-safe grouped build via explicit deterministic salting
+    (ddsketch_aggregate_salted): level 1 groups on (keys..., salt) so a
+    zipfian hot group spreads over num_salts reducers; level 2 merges the
+    per-salt blobs. Mergeability makes the split lossless, so the SAME
+    unsalted quantile oracle pins it — the hard proof that salting does not
+    change results."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.ddsketch_spark import ddsketch_aggregate_salted
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(value_expr).cast("double").alias("_v"))
+        agg = ddsketch_aggregate_salted(df, "_v", groups, _cfg(alpha),
+                                        num_salts=num_salts)
+        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(n)
+                for n, q in quantiles.items()]
+        return agg.select(*groups, *cols)
+    return run
+
+
 def multi_feature_query(quantiles: dict[str, float], alpha: float = ALPHA):
     """One-pass multi-feature sketching (ddsketch_aggregate_multi): N
     features unpivot via stack() inside the same whole-stage-codegen
@@ -714,6 +735,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         {"p01": 0.01, "p10": 0.1, "p50": 0.5, "p99": 0.99}, max_bins=64),
     "ddsketch_multi_feature_quantiles": multi_feature_query(
         {"p50": 0.5, "p99": 0.99}),
+    "ddsketch_salted_textlen_by_lang": salted_quantile_query(
+        "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}),
     "ddsketch_cubic_textlen_by_lang": cubic_quantile_query(
         "documents", "length(text)", ["lang"], _P503),
     "ddsketch_cubic_bound_check": cubic_bound_check_query(
@@ -829,6 +852,10 @@ DDSKETCH_ORACLES: dict[str, str] = {
         collapse="lowest", max_bins=64),
     "ddsketch_multi_feature_quantiles": multi_feature_oracle_sql(
         {"p50": 0.5, "p99": 0.99}),
+    # salted == unsalted (lossless by mergeability): the plain oracle pins it
+    "ddsketch_salted_textlen_by_lang": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99},
+        ALPHA),
     # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
     # SQL-expressible; golden vectors + pytest error bounds cover it).
     # ddsketch_cubic_bound_check turns the alpha guarantee into
