@@ -493,6 +493,12 @@ def streaming_quantile_query(table: str, value_expr: str, key: str,
                   .option("maxFilesPerTrigger", 1).parquet(in_dir))
         q = stream_sketch_partials(stream, "_v", [key], cfg, sink, ckpt)
         q.awaitTermination()
+        # staged input + checkpoint are no longer needed once the stream has
+        # drained; the SINK must outlive this call (the returned DataFrame
+        # reads it lazily on the caller's action)
+        import shutil
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         # duplicate-batch injection (retry simulation): re-append the first
         # micro-batch's partial rows verbatim
         parts = spark.read.parquet(sink)
