@@ -300,14 +300,30 @@ def ddsketch_quantiles_sql(
     (collapse_histogram) — the walk then runs over the collapsed histogram
     and matches the blob+UDF path exactly, still with zero Python operators.
     """
+    keys = list(keys)
+    hist = collapse_histogram(
+        ddsketch_histogram(df, value_col, keys, config, weight_col),
+        keys, config)
+    return histogram_quantiles(hist, keys, quantiles, config, round_digits)
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    keys: Sequence[str],
+    quantiles: dict[str, float],
+    config: SketchConfig,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The window quantile walk over an EXISTING histogram DataFrame of
+    (keys..., side, idx, c) — e.g. one produced by ddsketch_histogram, a
+    persisted histogram table, or a streaming windowed aggregate. The walk
+    input is bounded (<= #buckets rows per group), so every window here is
+    small by construction."""
     from pyspark.sql import Window
 
     proto = _require_log_mapping(config)
     m = proto.index_mapping
     keys = list(keys)
-    hist = collapse_histogram(
-        ddsketch_histogram(df, value_col, keys, config, weight_col),
-        keys, config)
 
     walk_order = F.col("side").asc(), F.when(
         F.col("side") == -1, -F.col("idx")).otherwise(F.col("idx")).asc()

@@ -512,6 +512,122 @@ def streaming_quantile_query(table: str, value_expr: str, key: str,
     return run
 
 
+def stateful_streaming_query(table: str, value_expr: str, key: str,
+                             quantile: float = 0.99, alpha: float = ALPHA,
+                             n_files: int = 4):
+    """The custom stateful operator (applyInPandasWithState; per-key state =
+    the serialized sketch blob) under the hard oracle: replay the table in
+    several availableNow micro-batches through stateful_sketch_stream into a
+    memory sink (update mode emits the running (key, count, estimate) each
+    batch), then keep each key's final state — the row with the maximum
+    count. DDSketch is order-insensitive (a histogram), so the final
+    estimate equals the batch build no matter how the stream was batched,
+    and the plain batch quantile oracle pins it exactly."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from ..streaming.sketch_stream import stateful_sketch_stream
+
+        base = tempfile.mkdtemp(prefix="sketch_stateful_q_")
+        in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+        cfg = _cfg(alpha)
+        df = load(spark, sf_dir, table).select(
+            key, F.expr(value_expr).cast("double").alias("_v"))
+        df.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        running = stateful_sketch_stream(stream, "_v", key, cfg,
+                                         quantile=quantile)
+        sink_name = f"stateful_sketch_{abs(hash(base)) % (1 << 30)}"
+        q = (running.writeStream.format("memory").queryName(sink_name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        # final state per key = the update row with the maximum count
+        # (counts grow monotonically batch over batch)
+        out = (spark.table(sink_name)
+               .groupBy(F.col("key").alias(key))
+               .agg(F.max("count").cast("bigint").alias("cnt"),
+                    F.round(F.max_by("estimate", "count"),
+                            ROUND_DIGITS).alias("est")))
+        return out
+    return run
+
+
+def stateful_streaming_oracle_sql(table: str, value_expr: str, key: str,
+                                  quantile: float,
+                                  alpha: float = ALPHA) -> str:
+    q = ddsketch_quantile_oracle_sql(table, value_expr, [key],
+                                     {"est": quantile}, alpha)
+    return f"""
+WITH q AS ({q}),
+c AS (
+  SELECT {key}, CAST(count(*) AS BIGINT) AS cnt
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND isfinite(CAST({value_expr} AS DOUBLE))
+  GROUP BY {key}
+)
+SELECT q.{key}, c.cnt, q.est FROM q JOIN c USING ({key})
+"""
+
+
+def windowed_streaming_query(table: str, value_expr: str, key: str,
+                             ts_col: str, quantiles: dict[str, float],
+                             alpha: float = ALPHA, n_files: int = 4,
+                             watermark: str = "90 days"):
+    """The watermarked tumbling-window streaming aggregation under the hard
+    oracle: replay the table through windowed_sketch_histogram (state-store
+    groupBy(window, key, side, idx)) in availableNow micro-batches, take the
+    final (max) count per histogram cell from the update-mode sink, and walk
+    quantiles per (day, key) with histogram_quantiles — the SAME walk the
+    batch path uses, so the per-day batch oracle pins it.
+
+    The staged replay splits files randomly in time, so the watermark is set
+    wider than the table's time span (nothing drops and the result is
+    deterministic = the batch answer); watermark *lateness* semantics are
+    exercised in tests/test_streaming.py, where arrival order is controlled."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from ..functions.ddsketch_sql import histogram_quantiles
+        from ..streaming.sketch_stream import windowed_sketch_histogram
+
+        base = tempfile.mkdtemp(prefix="sketch_windowed_q_")
+        in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+        cfg = _cfg(alpha)
+        # watermarks require TIMESTAMP (with zone); the fixture stores NTZ.
+        # The cast reinterprets in the session timezone — UTC here, so day
+        # windows line up with the oracle's timezone-naive date_trunc.
+        df = load(spark, sf_dir, table).select(
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            key, F.expr(value_expr).cast("double").alias("_v"))
+        df.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        hist_stream = windowed_sketch_histogram(
+            stream, "_v", [key], cfg, ts_col=ts_col,
+            window_duration="1 day", watermark=watermark)
+        sink = f"windowed_hist_{abs(hash(base)) % (1 << 30)}"
+        q = (hist_stream.writeStream.format("memory").queryName(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        shutil.rmtree(base, ignore_errors=True)
+        # final histogram = max count per cell (streaming counts only grow)
+        final = (spark.table(sink)
+                 .groupBy(F.date_format(F.col("window.start"),
+                                        "yyyy-MM-dd").alias("day"),
+                          F.col(key), "side", "idx")
+                 .agg(F.max("c").alias("c")))
+        return histogram_quantiles(final, ["day", key], quantiles, cfg,
+                                   ROUND_DIGITS)
+    return run
+
+
 def per_day_quantile_query():
     """Per-day grouped sketching (the north star's date_trunc('day', warc_ts)
     capability) over the events stream table."""
@@ -755,6 +871,10 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents", "length(text)", ["lang"], _P503, path="pandas"),
     "streaming_quantiles_events": streaming_quantile_query(
         "events", "value", "event_type", {"p50": 0.5, "p99": 0.99}),
+    "streaming_stateful_running_p99": stateful_streaming_query(
+        "events", "value", "event_type", quantile=0.99),
+    "streaming_windowed_daily_quantiles": windowed_streaming_query(
+        "events", "value", "event_type", "ts", {"p50": 0.5, "p99": 0.99}),
     "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
     "hll_union_events_sql": hll_union_sql_query(
         "events", "user_id", "event_type", ["purchase", "click"], p=14),
@@ -878,6 +998,15 @@ DDSKETCH_ORACLES: dict[str, str] = {
     # one-shot batch sketch (mergeability + (keys, batch_id) dedup)
     "streaming_quantiles_events": ddsketch_quantile_oracle_sql(
         "events", "value", ["event_type"], {"p50": 0.5, "p99": 0.99}, ALPHA),
+    # stateful running sketch (state = blob): final per-key state must equal
+    # the batch build (DDSketch is order-insensitive), cnt exact
+    "streaming_stateful_running_p99": stateful_streaming_oracle_sql(
+        "events", "value", "event_type", 0.99),
+    # watermarked windowed streaming histogram == batch per-(day, type) build
+    "streaming_windowed_daily_quantiles": ddsketch_quantile_oracle_sql(
+        "(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "event_type, value FROM events)",
+        "value", ["day", "event_type"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_users_by_event_type": hll_oracle_sql("events", "user_id", ["event_type"], 14),
     "hll_union_events_sql": hll_oracle_sql(
         "events", "user_id", [], 14,
