@@ -19,7 +19,8 @@ from .kernel.tdigest import TDigest
 __all__ = [
     "BloomFilter", "CountMinSketch", "DDSketch", "HyperLogLog", "KLL",
     "TDigest", "SketchConfig", "ddsketch_aggregate", "ddsketch_aggregate_sql",
-    "ddsketch_quantiles_sql", "register_all_sql_functions",
+    "ddsketch_quantiles_sql", "histogram_quantiles",
+    "register_all_sql_functions",
 ]
 
 
@@ -27,7 +28,8 @@ def __getattr__(name):  # lazy: keep kernel importable without pyspark
     if name in ("SketchConfig", "ddsketch_aggregate"):
         from .functions import ddsketch_spark
         return getattr(ddsketch_spark, name)
-    if name in ("ddsketch_aggregate_sql", "ddsketch_quantiles_sql"):
+    if name in ("ddsketch_aggregate_sql", "ddsketch_quantiles_sql",
+                "histogram_quantiles"):
         from .functions import ddsketch_sql
         return getattr(ddsketch_sql, name)
     if name == "register_all_sql_functions":
