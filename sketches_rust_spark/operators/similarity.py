@@ -427,7 +427,8 @@ SELECT probe_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
 def embedding_near_dup_pairs(df: DataFrame, threshold: float, dim: int,
                              nbits: int = 8, multi_probe: int = 1,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             sig_col: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for every
     candidate pair with cosine >= threshold.
 
@@ -440,8 +441,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float, dim: int,
     produces no duplicates. Recall is the LSH recall at the chosen
     nbits/multi_probe — this is the approximate operator; the exact verifier
     at test scale is the brute-force oracle with the same Hamming-ball
-    candidate rule."""
-    sigs = with_lsh_signature(df, vec_col, dim, nbits)
+    candidate rule.
+
+    sig_col: name of a precomputed signature column (with_lsh_signature /
+    write_bucketed_signatures, same dim/nbits) — pass it at scale so the
+    signature pass happens once, not per dedup run."""
+    if sig_col is None:
+        sigs = with_lsh_signature(df, vec_col, dim, nbits)
+    else:
+        sigs = df.withColumn("_sig", F.col(sig_col))
     masks = probe_masks(nbits, multi_probe)
     va = F.col("_va").cast("array<double>")
     vb = F.col("_vb").cast("array<double>")

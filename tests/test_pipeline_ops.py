@@ -519,6 +519,26 @@ def test_write_bucketed_signatures_roundtrip(spark, embeddings, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_embedding_near_dup_precomputed_signatures(spark, embeddings, tmp_path):
+    """near-dup pairs over a persisted signature table (sig_col path) must
+    equal the inline signature pass."""
+    from sketches_rust_spark.operators.similarity import (
+        embedding_near_dup_pairs, write_bucketed_signatures)
+
+    table = "emb_sigs_neardup_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed_signatures(embeddings, str(tmp_path / "nd_sigs"), table,
+                              "embedding", dim=64, nbits=6, num_buckets=8)
+    inline = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+              embedding_near_dup_pairs(embeddings, 0.3, dim=64,
+                                       nbits=6).collect()}
+    via = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+           embedding_near_dup_pairs(spark.table(table), 0.3, dim=64,
+                                    nbits=6, sig_col="_sig").collect()}
+    assert inline == via and len(inline) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_write_clustered_corpus_and_pruned_query(spark, embeddings, tmp_path):
     """The persisted inverted file (corpus partitioned by cluster) must
     serve ivf queries with results identical to the inline assignment, and
