@@ -84,3 +84,45 @@ def test_shard_assignment_stable_across_listing_changes(spark, tmp_path, sharded
         assert again == first
     finally:
         os.remove(extra)
+
+
+def test_sketch_job_cli_entrypoint_runs_and_resumes(
+        spark, tmp_path, sharded_input, capsys, monkeypatch):
+    """The spark-submit entrypoint (jobs/sketch_job.py) end-to-end in the
+    test session (its getOrCreate picks up the active session): fresh run
+    processes every shard and prints the metrics JSON; a re-run with the
+    same checkpoint resumes (0 shards re-processed); --finalize shows
+    per-group quantiles."""
+    import importlib.util
+    import json as _json
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "sketch_job_cli",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs", "sketch_job.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ckpt = str(tmp_path / "cli_ckpt")
+    argv = ["sketch_job.py", "--input", sharded_input,
+            "--value-expr", "length(text)", "--keys", "lang",
+            "--checkpoint", ckpt, "--shards", "3", "--finalize"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    mod.main()
+    out = capsys.readouterr().out
+    metrics = _json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][0])
+    assert metrics["shards_processed"] == 3
+    assert metrics["shards_complete"] == 3
+    assert metrics["rows_in"] == 500  # sf0.01 documents
+    assert "p500" in out and "p990" in out  # finalize printed quantiles
+
+    # resume: same checkpoint, nothing left to do
+    monkeypatch.setattr(_sys, "argv", argv[:-1])
+    mod.main()
+    out2 = capsys.readouterr().out
+    metrics2 = _json.loads(
+        [ln for ln in out2.splitlines() if ln.startswith("{")][0])
+    assert metrics2["shards_processed"] == 0
+    assert metrics2["shards_complete"] == 3
