@@ -83,6 +83,18 @@ def main() -> None:
     timings["throughput_build_lineitem"] = round(build_dt, 4)
     total_rows_sketched = n_rows
 
+    # same probe on the DEFAULT LOG-preset path (native SQL histogram):
+    # the engine's scalable build, 4-8x the UDAF path at scale
+    from sketches_rust_spark.functions.ddsketch_sql import ddsketch_aggregate_sql
+
+    t0 = time.perf_counter()
+    res_sql = ddsketch_aggregate_sql(
+        li.select(F.col("l_extendedprice").alias("v")), "v", [], cfg
+    ).collect()
+    sql_build_dt = time.perf_counter() - t0
+    timings["throughput_build_lineitem_sql"] = round(sql_build_dt, 4)
+    assert len(res_sql) == len(res)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_seconds",
@@ -92,6 +104,8 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": int(CPUS),
         "sketch_build_rows_per_sec": round(total_rows_sketched / build_dt, 1),
+        "sketch_build_rows_per_sec_sql": round(
+            total_rows_sketched / sql_build_dt, 1),
         "sketch_build_rows": total_rows_sketched,
         "final_groups": len(res),
     }))
