@@ -369,6 +369,48 @@ def test_simhash_max_hamming_validation(spark):
         simhash_near_pairs(sigs, max_hamming=-1)
 
 
+def test_near_dup_clusters_random_graphs_vs_union_find(spark):
+    """The contraction + pointer-jumping CC must equal a reference
+    union-find on random graph shapes: sparse random, dense clique-ish,
+    long chains, and a mix with self-contained stars."""
+    import numpy as np
+    from sketches_rust_spark.operators.dedup import near_dup_clusters
+
+    rng = np.random.default_rng(7)
+    shapes = []
+    # sparse random
+    shapes.append([(int(a), int(b)) for a, b in
+                   rng.integers(0, 60, size=(40, 2)) if a != b])
+    # two dense near-cliques + bridge
+    cl1 = [(i, j) for i in range(10) for j in range(i + 1, 10)
+           if rng.random() < 0.7]
+    cl2 = [(i, j) for i in range(100, 112) for j in range(i + 1, 112)
+           if rng.random() < 0.7]
+    shapes.append(cl1 + cl2 + [(9, 100)])
+    # a long chain (pointer jumping's worst-friendly case)
+    shapes.append([(i, i + 1) for i in range(40)])
+    for edges in shapes:
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"])
+        got = {r["_id"]: r["cluster"]
+               for r in near_dup_clusters(pairs, max_iters=30).collect()}
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert got == want
+
+
 def test_near_dup_clusters_raises_on_nonconvergence(spark):
     """A long path needs diameter iterations; a tiny cap must raise instead
     of silently returning split components."""
