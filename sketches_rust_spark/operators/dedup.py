@@ -263,7 +263,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     def stage(batches):
         bit_range = np.arange(bits, dtype=np.uint64)[None, :]
-        shifts = np.arange(63, dtype=np.int64)[None, :]
+        n_low = min(bits, 63)  # bit 63 is the int64 sign bit, handled apart
+        shifts = np.arange(n_low, dtype=np.int64)[None, :]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -276,10 +277,12 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             votes = np.add.reduceat(contrib, starts, axis=0)
             pos = votes > 0
-            low = (pos[:, :63].astype(np.int64) << shifts).sum(axis=1)
-            # bit 63 = sign bit of the int64 signature (the 60-bit base hash
-            # makes it always-negative in practice, but handle it anyway)
-            sh = np.where(pos[:, 63], low + np.int64(-9223372036854775808), low)
+            sh = (pos[:, :n_low].astype(np.int64) << shifts).sum(axis=1)
+            if bits > 63:
+                # sign bit (always-negative votes with the 60-bit base hash,
+                # but handle it anyway)
+                sh = np.where(pos[:, 63],
+                              sh + np.int64(-9223372036854775808), sh)
             yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "simhash": sh})
 
     return sets.mapInPandas(stage, schema=out_schema)
