@@ -230,3 +230,60 @@ def test_kll_serde_roundtrip():
     back = KLL.decode(blob)
     assert back.encode() == blob
     assert back.quantile(0.5) == k.quantile(0.5)
+
+
+def test_kmv_exact_below_k_and_error_bound():
+    import numpy as np
+    from sketches_rust_spark.kernel.bits import splitmix64
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    small = KMV(256)
+    small.add_hashes(splitmix64(np.arange(100, dtype=np.uint64)))
+    assert small.estimate() == 100.0  # exact below capacity
+
+    big = KMV(256)
+    big.add_hashes(splitmix64(np.arange(100_000, dtype=np.uint64)))
+    est = big.estimate()
+    # 5 sigma of the ~1/sqrt(k-2) relative standard error
+    assert abs(est - 100_000) / 100_000 < 5 * big.relative_standard_error()
+
+
+def test_kmv_merge_equals_whole_and_roundtrip():
+    import numpy as np
+    from sketches_rust_spark.kernel.bits import splitmix64
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    h = splitmix64(np.arange(50_000, dtype=np.uint64))
+    a, b, whole = KMV(64), KMV(64), KMV(64)
+    a.add_hashes(h[:30_000])
+    b.add_hashes(h[20_000:])  # overlapping halves
+    whole.add_hashes(h)
+    a.merge_with(b)
+    assert a.encode() == whole.encode()  # bottom-k union is lossless
+    assert KMV.decode(whole.encode()).encode() == whole.encode()
+    import pytest
+    with pytest.raises(ValueError, match="Unmatched"):
+        KMV(64).merge_with(KMV(128))
+
+
+def test_kmv_intersection_estimate():
+    import numpy as np
+    from sketches_rust_spark.kernel.bits import splitmix64
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    # exact when both sides are below capacity
+    a, b = KMV(512), KMV(512)
+    a.add_hashes(splitmix64(np.arange(300, dtype=np.uint64)))
+    b.add_hashes(splitmix64(np.arange(200, 500, dtype=np.uint64)))
+    assert a.intersection_estimate(b) == 100.0
+
+    # sampled regime: |A|=60k, |B|=60k, |A ∩ B|=20k
+    A, B = KMV(1024), KMV(1024)
+    A.add_hashes(splitmix64(np.arange(60_000, dtype=np.uint64)))
+    B.add_hashes(splitmix64(np.arange(40_000, 100_000, dtype=np.uint64)))
+    est = A.intersection_estimate(B)
+    # theta-sketch intersection error grows with |union|/|intersection|
+    # (=7x here); 25% is a loose determinism-free sanity band
+    assert abs(est - 20_000) / 20_000 < 0.25
+    # symmetric
+    assert est == B.intersection_estimate(A)

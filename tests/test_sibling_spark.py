@@ -110,3 +110,48 @@ def test_sibling_sql_surface(spark, events):
     """).collect()[0]["est"]
     exact = events.select("user_id").distinct().count()
     assert abs(out - exact) / exact <= 4 * HyperLogLog(14).relative_standard_error()
+
+
+def test_kmv_distinct_and_intersection_vs_exact(spark, events):
+    """KMV through the two-level Spark aggregation: per-type estimates
+    within the error band, partition-invariant blobs, and the intersection
+    estimate close to the exact overlap of two groups' user sets."""
+    from sketches_rust_spark.functions.sketch_udafs import (
+        kmv_adapter, kmv_estimate, kmv_intersection)
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    agg = sketch_aggregate(events, F.col("user_id"), ["event_type"],
+                           kmv_adapter(256, hash_mode="splitmix"))
+    got = {r["event_type"]: r["est"] for r in
+           agg.select("event_type", kmv_estimate("sketch").alias("est")).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    rse = KMV(256).relative_standard_error()
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n <= 5 * rse, (k, got[k], n)
+
+    # partition invariance: the retained bottom-k set is a pure function of
+    # the distinct hash set
+    blobs = []
+    for parts in (1, 5):
+        a = sketch_aggregate(events.repartition(parts), F.col("user_id"),
+                             ["event_type"], kmv_adapter(128, "splitmix"))
+        blobs.append({r["event_type"]: bytes(r["sketch"]) for r in a.collect()})
+    assert blobs[0] == blobs[1]
+
+    # intersection of two types' user sets vs exact overlap
+    types = sorted(exact)[:2]
+    both = agg.where(F.col("event_type").isin(types)).agg(
+        F.first(F.when(F.col("event_type") == types[0], F.col("sketch")),
+                ignorenulls=True).alias("sa"),
+        F.first(F.when(F.col("event_type") == types[1], F.col("sketch")),
+                ignorenulls=True).alias("sb"))
+    est = both.select(kmv_intersection("sa", "sb").alias("c")).collect()[0]["c"]
+    true_common = (events.where(F.col("event_type") == types[0])
+                   .select("user_id").distinct()
+                   .join(events.where(F.col("event_type") == types[1])
+                         .select("user_id").distinct(), "user_id")
+                   .count())
+    if true_common:
+        assert abs(est - true_common) / true_common < 0.5  # loose: small k
