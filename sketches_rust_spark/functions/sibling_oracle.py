@@ -92,6 +92,76 @@ FROM agg
 """
 
 
+def kmv_oracle_sql(table: str, id_expr: str, group_cols: list[str], k: int,
+                   round_digits: int = 2, where: str = "") -> str:
+    """KMV distinct estimate per group, retained-hash-set-identical to the
+    engine: bottom-k of the distinct SplitMix64 hashes; exact count below k,
+    else (k-1)*2^64/h_(k) with the same double arithmetic order."""
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+    part = f"PARTITION BY {gsel}" if group_cols else ""
+    wh = f"WHERE ({where})" if where else ""
+    h = splitmix64_sql(f"CAST({id_expr} AS UBIGINT)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {gpre}{h} AS h FROM {table} {wh}
+),
+rk AS (
+  SELECT {gpre}h, row_number() OVER ({part} ORDER BY h) AS r FROM hashed
+),
+agg AS (
+  SELECT {gpre}count(*) AS n,
+         max(CASE WHEN r = {k} THEN h END) AS hk
+  FROM rk {gby}
+)
+SELECT {gpre}
+  round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+        ELSE ({k} - 1) * 18446744073709551616.0 / CAST(hk AS DOUBLE) END,
+        {round_digits}) AS est
+FROM agg
+"""
+
+
+def kmv_intersection_oracle_sql(table: str, id_expr: str, group_col: str,
+                                group_a: str, group_b: str, k: int,
+                                round_digits: int = 2) -> str:
+    """Theta-sketch intersection estimate between two groups' id sets,
+    arithmetic-identical to KMV.intersection_estimate: theta = min of the
+    two k-th smallest hashes (2^64 when below capacity), count common
+    retained hashes below theta, scale by 2^64/theta."""
+    h = splitmix64_sql(f"CAST({id_expr} AS UBIGINT)")
+    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def side(name: str, gval: str) -> str:
+        return f"""
+h_{name} AS (
+  SELECT DISTINCT {h} AS h FROM {table} WHERE {group_col} = '{gval}'
+),
+r_{name} AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS r FROM h_{name}
+),
+t_{name} AS (
+  SELECT CASE WHEN count(*) >= {k}
+          THEN CAST(max(CASE WHEN r = {k} THEN h END) AS HUGEINT)
+          ELSE {two64} END AS theta
+  FROM r_{name}
+)"""
+
+    return f"""
+WITH {side('a', group_a).lstrip()},{side('b', group_b)},
+th AS (SELECT least(t_a.theta, t_b.theta) AS theta FROM t_a, t_b),
+common AS (
+  SELECT count(*) AS c
+  FROM r_a JOIN r_b USING (h), th
+  WHERE r_a.r <= {k} AND r_b.r <= {k} AND CAST(h AS HUGEINT) < th.theta
+)
+SELECT round(CAST(c AS DOUBLE) * 18446744073709551616.0
+             / CAST(theta AS DOUBLE), {round_digits}) AS est_common
+FROM common, th
+"""
+
+
 def cms_oracle_sql(table: str, id_expr: str, probes: list[int],
                    depth: int, width: int, where: str = "") -> str:
     """CMS point estimates for a fixed integer probe list, counter-identical

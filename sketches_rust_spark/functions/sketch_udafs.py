@@ -38,6 +38,7 @@ from ..kernel.bloom import BloomFilter
 from ..kernel.cms import CountMinSketch
 from ..kernel.hll import HyperLogLog
 from ..kernel.kll import KLL
+from ..kernel.kmv import KMV
 from ..kernel.tdigest import TDigest
 from .ddsketch_spark import ROWS_COL, SKETCH_COL, _factorize_keys, _key_fields
 
@@ -87,6 +88,21 @@ def bloom_adapter(m_bits: int = 1 << 20, k: int = 7, hash_mode: str = "pre") -> 
         sk.add_hashes(h)
     return SketchAdapter(
         "bloom", lambda: BloomFilter(m_bits, k), update,
+        lambda sk, b: sk.decode_and_merge_with(b))
+
+
+def kmv_adapter(k: int = 256, hash_mode: str = "pre") -> SketchAdapter:
+    """KMV / bottom-k theta sketch: distinct counts that also support
+    set-intersection estimates (kernel/kmv.py). 'splitmix' hashing keeps
+    the retained hash set — and therefore every estimate — exactly
+    reproducible in the DuckDB oracle (bottom-k = ORDER BY hash LIMIT k)."""
+    def update(sk, pdf):
+        h = _to_u64(pdf["_in"])
+        if hash_mode == "splitmix":
+            h = splitmix64(h)
+        sk.add_hashes(h)
+    return SketchAdapter(
+        "kmv", lambda: KMV(k), update,
         lambda sk, b: sk.decode_and_merge_with(b))
 
 
@@ -179,6 +195,25 @@ def hll_estimate(blobs: pd.Series) -> pd.Series:
         dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def kmv_estimate(blobs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else KMV.decode(bytes(b)).estimate() for b in blobs],
+        dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def kmv_intersection(blobs_a: pd.Series, blobs_b: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(blobs_a, blobs_b):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(KMV.decode(bytes(a)).intersection_estimate(
+            KMV.decode(bytes(b))))
+    return pd.Series(out, dtype="float64")
+
+
 @pandas_udf(LongType())
 def cms_total(blobs: pd.Series) -> pd.Series:
     return pd.Series(
@@ -242,11 +277,16 @@ def register_sibling_sql(spark: SparkSession,
                          cms_depth: int = 5, cms_width: int = 2048,
                          bloom_m: int = 1 << 20, bloom_k: int = 7,
                          tdigest_delta: float = 200.0,
-                         kll_k: int = 200) -> None:
+                         kll_k: int = 200,
+                         kmv_k: int = 256) -> None:
     """Register extraction + merge functions for SQL composition, e.g.
     SELECT lang, hll_estimate(hll_merge(sketch)) FROM partials GROUP BY lang.
     """
     spark.udf.register("hll_estimate", hll_estimate)
+    spark.udf.register("kmv_estimate", kmv_estimate)
+    spark.udf.register("kmv_intersection", kmv_intersection)
+    spark.udf.register("kmv_merge", _merge_udaf(
+        lambda sk, b: sk.decode_and_merge_with(b), lambda: KMV(kmv_k)))
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("cms_point_estimate", cms_point_estimate)
     spark.udf.register("bloom_might_contain", bloom_might_contain)

@@ -134,6 +134,72 @@ def hll_union_sql_query(table: str, id_expr: str, group_col: str,
     return run
 
 
+def kmv_query(table: str, id_expr: str, groups: list[str], k: int = 256):
+    """KMV / bottom-k theta sketch distinct estimate per group — the
+    distinct-count sketch that ALSO supports set intersections (which HLL
+    cannot); retained hashes are SplitMix64, so the oracle rebuilds the
+    identical bottom-k set in SQL."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kmv_adapter, kmv_estimate, sketch_aggregate)
+        df = load(spark, sf_dir, table).select(
+            *groups, F.expr(id_expr).cast("long").alias("_id"))
+        agg = sketch_aggregate(df, "_id", groups,
+                               kmv_adapter(k, hash_mode="splitmix"))
+        return agg.select(*groups, F.round(kmv_estimate("sketch"), 2).alias("est"))
+    return run
+
+
+def kmv_intersection_query(table: str, id_expr: str, group_col: str,
+                           group_a: str, group_b: str, k: int = 256):
+    """Set-intersection estimate between two groups' id sets via theta
+    sketches: one pass builds both groups' KMV sketches (two-level, no
+    raw-row shuffle), a conditional-first pivot puts the two blobs on one
+    row, and the intersection UDF scales the common retained hashes below
+    the shared theta. Exact DuckDB replica of the whole computation."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kmv_adapter, kmv_intersection, sketch_aggregate)
+        df = (load(spark, sf_dir, table)
+              .where(F.col(group_col).isin([group_a, group_b]))
+              .select(F.col(group_col).alias("_g"),
+                      F.expr(id_expr).cast("long").alias("_id")))
+        agg = sketch_aggregate(df, "_id", ["_g"],
+                               kmv_adapter(k, hash_mode="splitmix"))
+        both = agg.agg(
+            F.first(F.when(F.col("_g") == group_a, F.col("sketch")),
+                    ignorenulls=True).alias("_sa"),
+            F.first(F.when(F.col("_g") == group_b, F.col("sketch")),
+                    ignorenulls=True).alias("_sb"))
+        return both.select(
+            F.round(kmv_intersection("_sa", "_sb"), 2).alias("est_common"))
+    return run
+
+
+def kmv_union_sql_query(table: str, id_expr: str, group_col: str,
+                        group_vals: list[str], k: int = 256):
+    """KMV merge through the SQL surface (mirrors hll/cms/bloom union
+    queries): per-group sketches merged with the registered ``kmv_merge``
+    GROUPED_AGG UDF in spark.sql; bottom-k mergeability makes the union
+    sketch equal a build over the unioned rows, so the plain KMV oracle
+    over the restricted table pins it."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kmv_adapter, register_sibling_sql, sketch_aggregate)
+        register_sibling_sql(spark, kmv_k=k)
+        df = (load(spark, sf_dir, table)
+              .where(F.col(group_col).isin(group_vals))
+              .select(F.col(group_col).alias("_g"),
+                      F.expr(id_expr).cast("long").alias("_id")))
+        parts = sketch_aggregate(df, "_id", ["_g"],
+                                 kmv_adapter(k, hash_mode="splitmix"))
+        parts.createOrReplaceTempView("kmv_union_parts")
+        return spark.sql(
+            "SELECT round(kmv_estimate(kmv_merge(sketch)), 2) AS est "
+            "FROM kmv_union_parts")
+    return run
+
+
 def cms_union_sql_query(table: str, id_expr: str, group_col: str,
                         probes: list[int], depth: int = 5, width: int = 4096):
     """CMS merge through the SQL surface: per-group CMS partials as a temp
@@ -882,6 +948,12 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents", "length(text)", "lang", {"p50": 0.5, "p99": 0.99}),
     "hll_partkeys_by_returnflag": hll_query(
         "lineitem", "l_partkey", ["l_returnflag"], p=14),
+    "kmv_users_by_event_type": kmv_query(
+        "events", "user_id", ["event_type"], k=256),
+    "kmv_common_users_purchase_click": kmv_intersection_query(
+        "events", "user_id", "event_type", "purchase", "click", k=256),
+    "kmv_union_events_sql": kmv_union_sql_query(
+        "events", "user_id", "event_type", ["purchase", "click"], k=256),
     "cms_user_event_counts": cms_probe_query(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     "cms_union_events_sql": cms_union_sql_query(
@@ -928,6 +1000,8 @@ from ..functions.sibling_oracle import (  # noqa: E402
     bloom_oracle_sql,
     cms_oracle_sql,
     hll_oracle_sql,
+    kmv_intersection_oracle_sql,
+    kmv_oracle_sql,
 )
 from .dedup import (  # noqa: E402
     exact_dup_stats_oracle_sql,
@@ -1015,6 +1089,14 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_partkeys_by_returnflag": hll_oracle_sql(
         "lineitem", "l_partkey", ["l_returnflag"], 14),
+    "kmv_users_by_event_type": kmv_oracle_sql(
+        "events", "user_id", ["event_type"], 256),
+    "kmv_common_users_purchase_click": kmv_intersection_oracle_sql(
+        "events", "user_id", "event_type", "purchase", "click", 256),
+    # SQL-merged per-group KMV == KMV over the unioned groups' rows
+    "kmv_union_events_sql": kmv_oracle_sql(
+        "events", "user_id", [], 256,
+        where="event_type IN ('purchase', 'click')"),
     "cms_user_event_counts": cms_oracle_sql(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     # SQL-merged per-group CMS == CMS over all rows (counter additivity)
