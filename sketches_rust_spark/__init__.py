@@ -13,11 +13,12 @@ from .kernel.bloom import BloomFilter
 from .kernel.cms import CountMinSketch
 from .kernel.hll import HyperLogLog
 from .kernel.kll import KLL
+from .kernel.kmv import KMV
 from .kernel.sketch import DDSketch
 from .kernel.tdigest import TDigest
 
 __all__ = [
-    "BloomFilter", "CountMinSketch", "DDSketch", "HyperLogLog", "KLL",
+    "BloomFilter", "CountMinSketch", "DDSketch", "HyperLogLog", "KLL", "KMV",
     "TDigest", "SketchConfig", "ddsketch_aggregate", "ddsketch_aggregate_sql",
     "ddsketch_quantiles_sql", "histogram_quantiles",
     "register_all_sql_functions",
