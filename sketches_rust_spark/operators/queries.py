@@ -457,6 +457,55 @@ GROUP BY {gsel}
 """
 
 
+def pipeline_quality_dedup_sketch_query(threshold: float = 0.9,
+                                        quantiles: dict[str, float] | None = None,
+                                        alpha: float = ALPHA):
+    """End-to-end training-data pipeline composition under ONE oracle:
+    quality-score every document (scan-speed built-ins), keep docs above
+    threshold, exact-dedup the survivors (min doc_id per distinct text),
+    then per-lang DDSketch length quantiles on the JVM walk. Demonstrates
+    the engine's stages composing into the shape a real corpus-curation
+    pipeline runs — filter and dedup feed the sketch without ever leaving
+    the declarative plan."""
+    qs = quantiles or {"p50": 0.5, "p99": 0.99}
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import exact_dedup
+        from .text import quality_score
+        docs = load(spark, sf_dir, "documents")
+        good = docs.where(quality_score(F.col("text")) >= threshold)
+        kept = exact_dedup(good)
+        df = kept.select("lang", F.length("text").cast("double").alias("_v"))
+        return ddsketch_quantiles_sql(df, "_v", ["lang"], qs, _cfg(alpha),
+                                      round_digits=ROUND_DIGITS)
+    return run
+
+
+def _pipeline_quality_dedup_subquery(threshold: float) -> str:
+    """DuckDB subquery replicating quality filter + exact dedup exactly
+    (same unrounded double arithmetic as text.quality_score)."""
+    return f"""(
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS pr,
+         length(replace(text, ' ', ''))::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) AS mtl
+  FROM documents
+),
+good AS (
+  SELECT doc_id, lang, text FROM feat
+  WHERE ((CASE WHEN n BETWEEN 100 AND 20000 THEN 1.0
+               WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
+       + (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END))
+      / 3.0 >= {threshold!r}
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text))
+SELECT g.lang, g.text FROM good g JOIN keep USING (doc_id))"""
+
+
 def salted_quantile_query(table: str, value_expr: str, groups: list[str],
                           quantiles: dict[str, float], alpha: float = ALPHA,
                           num_salts: int = 16):
@@ -925,6 +974,7 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         {"p50": 0.5, "p99": 0.99}),
     "ddsketch_salted_textlen_by_lang": salted_quantile_query(
         "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}),
+    "pipeline_quality_dedup_sketch": pipeline_quality_dedup_sketch_query(),
     "ddsketch_cubic_textlen_by_lang": cubic_quantile_query(
         "documents", "length(text)", ["lang"], _P503),
     "ddsketch_cubic_bound_check": cubic_bound_check_query(
@@ -1056,6 +1106,10 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "ddsketch_salted_textlen_by_lang": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99},
         ALPHA),
+    # pipeline composition: quality filter -> exact dedup -> per-lang sketch
+    "pipeline_quality_dedup_sketch": ddsketch_quantile_oracle_sql(
+        _pipeline_quality_dedup_subquery(0.9), "length(text)", ["lang"],
+        {"p50": 0.5, "p99": 0.99}, ALPHA),
     # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
     # SQL-expressible; golden vectors + pytest error bounds cover it).
     # ddsketch_cubic_bound_check turns the alpha guarantee into
