@@ -94,6 +94,31 @@ def main() -> None:
     print("- false negatives: 0 (guaranteed); measured fpr on 500k non-members: "
           f"{bf.might_contain_hashes(probes).mean():.5f}\n")
 
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    kmv_k = 1024
+    kmv_rse = KMV(kmv_k).relative_standard_error()
+    print(f"## KMV / bottom-k theta sketch (k={kmv_k}, rse {kmv_rse:.3f})\n")
+    print("| true n | estimate | rel err | err/rse (sigma) |")
+    print("|---|---|---|---|")
+    for n in (100, 1_000, 10_000, 100_000, 1_000_000):
+        sk = KMV(kmv_k)
+        sk.add_hashes(splitmix64(np.arange(n, dtype=np.uint64)))
+        est = sk.estimate()
+        err = abs(est - n) / n
+        sig = "exact" if n < kmv_k else f"{err / kmv_rse:.1f}"
+        print(f"| {n:,} | {est:,.0f} | {err:.5f} | {sig} |")
+    inter = []
+    for overlap in (5_000, 20_000, 50_000):
+        a, b = KMV(1024), KMV(1024)
+        a.add_hashes(splitmix64(np.arange(60_000, dtype=np.uint64)))
+        b.add_hashes(splitmix64(
+            np.arange(60_000 - overlap, 120_000 - overlap, dtype=np.uint64)))
+        est = a.intersection_estimate(b)
+        inter.append(f"|A∩B|={overlap:,}: est {est:,.0f} "
+                     f"(rel err {abs(est - overlap) / overlap:.3f})")
+    print("\nset intersection (k=1024, |A|=|B|=60k): " + "; ".join(inter) + "\n")
+
     # IVF ANN recall vs n_probe — numpy replica of operators/similarity.py
     # ivf_topk (md5 centroid seeds, cosine argmax assignment, top-n_probe
     # cluster probing); the Spark plan is oracle-pinned to this exact math.
