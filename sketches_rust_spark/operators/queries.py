@@ -375,6 +375,51 @@ GROUP BY {gsel}
 """
 
 
+def quantile_sql_merge_rank_check_query(kind: str, table: str,
+                                        value_expr: str, groups: list[str],
+                                        quantiles: dict[str, float],
+                                        bound: float, n_splits: int = 4):
+    """The LAST merge surface under a hard signal: t-digest / KLL blobs
+    merged THROUGH spark.sql (the registered <kind>_merge GROUPED_AGG UDF).
+    Estimates from order-dependent sketches cannot be SQL-replicated, so —
+    as in quantile_rank_check_query — the query emits exact per-group counts
+    plus rank-containment booleans for the MERGED sketch's estimates. A
+    merge that corrupted state (dropped centroids, mis-folded compactors)
+    would push the rank error past ``bound`` and flip the hash red. The
+    per-group sketches are deliberately split n_splits ways first (salt on
+    the value hash) so the SQL merge folds real partials, not one blob."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kll_adapter, register_sibling_sql, sketch_aggregate,
+            tdigest_adapter)
+        register_sibling_sql(spark)
+        adapter = tdigest_adapter() if kind == "tdigest" else kll_adapter()
+        df = (load(spark, sf_dir, table)
+              .select(*groups, F.expr(value_expr).cast("double").alias("_v"))
+              .where(F.col("_v").isNotNull()))
+        salted = df.withColumn(
+            "_split", F.pmod(F.xxhash64("_v"), F.lit(n_splits)))
+        parts = sketch_aggregate(salted, "_v", [*groups, "_split"], adapter)
+        view = f"{kind}_sql_merge_parts"
+        parts.createOrReplaceTempView(view)
+        gsel = ", ".join(groups)
+        qcols = ", ".join(
+            f"{kind}_quantile({kind}_merge(sketch), CAST({q!r} AS DOUBLE)) "
+            f"AS _e_{name}" for name, q in quantiles.items())
+        ests = spark.sql(
+            f"SELECT {gsel}, {qcols} FROM {view} GROUP BY {gsel}")
+        joined = df.join(F.broadcast(ests), on=groups)
+        n = F.count(F.lit(1))
+        aggs = [n.cast("bigint").alias("cnt")]
+        for name, q in quantiles.items():
+            lt = F.sum((F.col("_v") < F.col(f"_e_{name}")).cast("double"))
+            leq = F.sum((F.col("_v") <= F.col(f"_e_{name}")).cast("double"))
+            ok = ((leq / n >= F.lit(q - bound)) & (lt / n <= F.lit(q + bound)))
+            aggs.append(ok.alias(f"{name}_ok"))
+        return joined.groupBy(*groups).agg(*aggs)
+    return run
+
+
 def weighted_quantile_query(table: str, value_expr: str, weight_expr: str,
                             groups: list[str], quantiles: dict[str, float],
                             alpha: float = ALPHA):
@@ -1019,6 +1064,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_price_by_returnflag": quantile_rank_check_query(
         "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
         bound=0.03),
+    "tdigest_sql_merge_rank_check": quantile_sql_merge_rank_check_query(
+        "tdigest", "events", "value", ["event_type"], _P503, bound=0.03),
+    "kll_sql_merge_rank_check": quantile_sql_merge_rank_check_query(
+        "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
+        bound=0.03),
     "text_features_documents": text_features_query(),
     "dedup_exact_stats": exact_dup_stats_query(),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
@@ -1169,6 +1219,12 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "tdigest_value_by_event_type": quantile_rank_check_oracle_sql(
         "events", "value", ["event_type"], _P503),
     "kll_price_by_returnflag": quantile_rank_check_oracle_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
+    # blobs merged through spark.sql (tdigest_merge/kll_merge UDAFs): same
+    # exact-count + rank-containment oracle pins the merged estimates
+    "tdigest_sql_merge_rank_check": quantile_rank_check_oracle_sql(
+        "events", "value", ["event_type"], _P503),
+    "kll_sql_merge_rank_check": quantile_rank_check_oracle_sql(
         "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
     "text_features_documents": text_features_oracle_sql("documents", "doc_id"),
     "dedup_exact_stats": exact_dup_stats_oracle_sql("documents"),
