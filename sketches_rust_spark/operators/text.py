@@ -32,7 +32,9 @@ LANG_MARKERS: dict[str, list[str]] = {
     "nl": ["de", "het", "een", "van", "dat"],
 }
 
-_PUNCT_RE = "[.,!?;:]"
+# translate() strips the same chars WITHOUT regex machinery — measurably
+# cheaper on the scan-speed path; counts are identical to the regex strip
+_PUNCT_CHARS = ".,!?;:"
 
 
 def token_count(text: Column) -> Column:
@@ -43,12 +45,12 @@ def subtoken_count(text: Column) -> Column:
     """BPE-ish upper bound: words + digit runs + punctuation marks."""
     words = F.size(F.split(text, " "))
     digits = F.size(F.split(text, "[0-9]+")) - 1
-    punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
+    punct = F.length(text) - F.length(F.translate(text, _PUNCT_CHARS, ""))
     return words + digits + punct
 
 
 def punct_ratio(text: Column) -> Column:
-    return (F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))) / \
+    return (F.length(text) - F.length(F.translate(text, _PUNCT_CHARS, ""))) / \
         F.greatest(F.length(text), F.lit(1))
 
 
@@ -131,7 +133,7 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).alias("_len"),
         F.split(t, " ").alias("_toks"),
         F.split(F.lower(t), " ").alias("_ltoks"),
-        (F.length(t) - F.length(F.regexp_replace(t, _PUNCT_RE, ""))).alias("_punct"),
+        (F.length(t) - F.length(F.translate(t, _PUNCT_CHARS, ""))).alias("_punct"),
         (F.size(F.split(t, "[0-9]+")) - 1).alias("_digruns"),
     )
     n = F.col("_len")
