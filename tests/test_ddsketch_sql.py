@@ -212,6 +212,33 @@ def test_walk_collapsing_preset_matches_blob_path(spark, documents):
         assert vals == pytest.approx(via_blob[g], abs=1e-9), g
 
 
+def test_weighted_collapsing_walk_matches_blob_path(spark, documents):
+    """Weighted inserts AND a collapsing preset together: the window collapse
+    fold runs over the sum(weight) histogram and must equal blobs built from
+    the same histogram (store-side clamp) exactly."""
+    from sketches_rust_spark.functions.ddsketch_sql import (
+        blobs_from_histogram, ddsketch_histogram)
+
+    df = (documents
+          .withColumn("v", F.length("text").cast("double"))
+          .withColumn("w", (F.col("doc_id") % 4 + 1).cast("double")))
+    qs = {"p01": 0.01, "p50": 0.5, "p99": 0.99}
+    walked = {r["lang"]: [r[n] for n in qs]
+              for r in ddsketch_quantiles_sql(df, "v", ["lang"], qs,
+                                              CFG_COLLAPSING,
+                                              weight_col="w").collect()}
+    blobs = blobs_from_histogram(
+        ddsketch_histogram(df, "v", ["lang"], CFG_COLLAPSING, weight_col="w"),
+        ["lang"], CFG_COLLAPSING)
+    via_blob = {
+        r["lang"]: [r[n] for n in qs]
+        for r in blobs.select(
+            "lang", *[make_quantile_udf(q)("sketch").alias(n)
+                      for n, q in qs.items()]).collect()}
+    for g, vals in walked.items():
+        assert vals == pytest.approx(via_blob[g], abs=1e-9), g
+
+
 def test_stats_collapsing_preset_matches_blob_extremes(spark, documents):
     """ddsketch_stats_sql with a collapsing preset: min_est must be the
     representative of the FOLDED floor bucket (not the raw min bucket),
