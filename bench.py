@@ -50,6 +50,12 @@ def main() -> None:
     spark.range(int(CPUS) * 2, numPartitions=int(CPUS)).mapInPandas(
         _warm, "id long").count()
 
+    # scan warmup: fault parquet footers + pages into cache once so the
+    # alphabetically-first queries don't absorb cold-read costs that every
+    # later query gets for free (steady-state engine measurement)
+    for t in ("documents", "embeddings", "events", "lineitem"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total_rows_sketched = 0
