@@ -247,7 +247,9 @@ def ddsketch_aggregate_weighted(
                        pdf["_w"].to_numpy(np.float64, na_value=np.nan))
         head = {k: pdf[k].iloc[0] for k in keys}
         head[SKETCH_COL] = sk.encode()
-        head[ROWS_COL] = int(sk.get_count())
+        # round, don't truncate: fractional weight sums (weights are
+        # doubles) would otherwise report up to 1 low per group
+        head[ROWS_COL] = int(round(sk.get_count()))
         return pd.DataFrame([head], columns=keys + [SKETCH_COL, ROWS_COL])
 
     if keys:

@@ -67,6 +67,10 @@ def ddsketch_quantile_oracle_sql(
     rest into the boundary bucket) before the walk — the order-insensitive
     collapse the engine's stores implement.
     """
+    if collapse is not None and max_bins < 1:
+        raise ValueError(
+            f"collapse={collapse!r} requires max_bins >= 1, got {max_bins} "
+            "(a 0-bin clamp would silently fold every bucket into one)")
     mult, ra, min_indexed = log_mapping_params(alpha)
     side, idx = _bucket_exprs(mult, min_indexed)
     gsel = ", ".join(group_cols)

@@ -86,6 +86,24 @@ class KMV:
         common = int(np.intersect1d(a, b).shape[0])
         return common * _TWO64 / float(theta)
 
+    def difference_estimate(self, other: "KMV") -> float:
+        """Theta-sketch set difference |self ∖ other|: count retained hashes
+        below the common theta that are in self but NOT in other, scale by
+        2^64/theta (both retained sets are uniform samples of their sets
+        restricted to [0, theta), so the set difference of the samples is a
+        uniform sample of the set difference). Exact when both sides are
+        below capacity. Completes the theta algebra: union (merge_with),
+        intersection, difference."""
+        theta = min(self.theta(), other.theta())
+        if theta < (1 << 64):
+            t = np.uint64(theta)
+            a = self.hashes[self.hashes < t]
+            b = other.hashes[other.hashes < t]
+        else:
+            a, b = self.hashes, other.hashes
+        only = int(np.setdiff1d(a, b).shape[0])
+        return only * _TWO64 / float(theta)
+
     # -- merge -----------------------------------------------------------------
 
     def merge_with(self, other: "KMV") -> None:
@@ -114,7 +132,15 @@ class KMV:
         raw = inp.buffer()[inp.tell():inp.tell() + 8 * n]
         if len(raw) != 8 * n:
             raise ValueError("corrupt KMV blob")
-        sk.hashes = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+        if n > k:
+            raise ValueError(f"corrupt KMV blob: {n} hashes exceed k={k}")
+        hashes = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+        # theta()/estimate() index hashes[k-1] assuming ascending distinct
+        # order; a foreign blob violating it would give silently wrong
+        # estimates after decode_and_merge_with
+        if n > 1 and not (hashes[:-1] < hashes[1:]).all():
+            raise ValueError("corrupt KMV blob: hashes not strictly ascending")
+        sk.hashes = hashes
         return sk
 
     def decode_and_merge_with(self, data: bytes) -> None:

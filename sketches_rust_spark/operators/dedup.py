@@ -320,17 +320,20 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
     # pack (combo index, combo block values) into ONE long whenever it fits
     # (combo-id bits + sum of member block widths <= 63): a scalar bigint
     # join key hashes/compares far faster than an array<bigint>, and the
-    # combo id folded into the key removes the separate equality column
+    # combo id folded into the key removes the separate equality column.
+    # The combo id sits at a FIXED offset (the max width-sum over all
+    # combos), so two combos with different width-sums can never collide
+    # on the packed key (64 % n_blocks != 0 makes width-sums differ).
     combo_id_bits = max(1, (len(combos) - 1).bit_length())
-    packable = combo_id_bits + max(
-        sum(widths[b] for b in combo) for combo in combos) <= 63
+    max_width_sum = max(sum(widths[b] for b in combo) for combo in combos)
+    packable = combo_id_bits + max_width_sum <= 63
 
     def combo_key(ci: int, combo) -> Column:
         if packable:
-            key = F.lit(ci).cast("long")
+            key = F.lit(0).cast("long")
             for b in combo:
                 key = F.shiftleft(key, widths[b]).bitwiseOR(blocks[b])
-            return key
+            return key.bitwiseOR(F.lit(ci << max_width_sum).cast("long"))
         if agree == 1:  # scalar long key joins faster than a 1-array
             return blocks[combo[0]]
         return F.array(*[blocks[b] for b in combo])

@@ -275,3 +275,16 @@ def test_weighted_logcubic_falls_back_to_pandas_build(spark):
     rows = ddsketch_aggregate_weighted(df, "v", "w", [], cfg).collect()
     sk = DDSketch.decode(bytes(rows[0]["sketch"]))
     assert sk.get_count() == 10.0
+
+
+def test_quantile_oracle_rejects_collapse_without_max_bins():
+    import pytest
+
+    from sketches_rust_spark.functions.oracle import ddsketch_quantile_oracle_sql
+
+    with pytest.raises(ValueError, match="max_bins"):
+        ddsketch_quantile_oracle_sql(
+            "t", "v", [], {"p50": 0.5}, 0.01, collapse="lowest")
+    with pytest.raises(ValueError, match="max_bins"):
+        ddsketch_quantile_oracle_sql(
+            "t", "v", [], {"p50": 0.5}, 0.01, collapse="highest", max_bins=0)

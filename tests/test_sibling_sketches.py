@@ -266,6 +266,65 @@ def test_kmv_merge_equals_whole_and_roundtrip():
         KMV(64).merge_with(KMV(128))
 
 
+def test_kmv_decode_rejects_malformed_blobs():
+    import numpy as np
+    import pytest
+    from sketches_rust_spark.kernel.bits import splitmix64
+    from sketches_rust_spark.kernel.kmv import KMV
+    from sketches_rust_spark.kernel.serde import encode_unsigned_var_long
+
+    def blob(k: int, hashes: np.ndarray) -> bytes:
+        buf = bytearray(b"KMV1")
+        encode_unsigned_var_long(buf, k)
+        encode_unsigned_var_long(buf, int(hashes.shape[0]))
+        buf += hashes.astype("<u8").tobytes()
+        return bytes(buf)
+
+    h = np.sort(splitmix64(np.arange(8, dtype=np.uint64)))
+    # n > k: theta()/estimate() would index hashes[k-1] while extras stay
+    # retained — silently inconsistent after decode_and_merge_with
+    with pytest.raises(ValueError, match="exceed"):
+        KMV.decode(blob(4, h))
+    # non-ascending order breaks the bottom-k invariant
+    with pytest.raises(ValueError, match="ascending"):
+        KMV.decode(blob(16, h[::-1].copy()))
+    # duplicate hashes break distinctness (strictly ascending required)
+    dup = np.concatenate([h[:1], h[:1], h[1:7]])
+    with pytest.raises(ValueError, match="ascending"):
+        KMV.decode(blob(16, dup))
+    # well-formed round-trip still works
+    assert KMV.decode(blob(16, h)).encode() == blob(16, h)
+
+
+def test_kmv_difference_estimate():
+    import numpy as np
+    from sketches_rust_spark.kernel.bits import splitmix64
+    from sketches_rust_spark.kernel.kmv import KMV
+
+    # exact when both sides are below capacity
+    a, b = KMV(512), KMV(512)
+    a.add_hashes(splitmix64(np.arange(300, dtype=np.uint64)))
+    b.add_hashes(splitmix64(np.arange(200, 500, dtype=np.uint64)))
+    assert a.difference_estimate(b) == 200.0
+    assert b.difference_estimate(a) == 200.0
+
+    # sampled regime: |A|=60k, |B|=60k, |A ∖ B|=40k
+    A, B = KMV(1024), KMV(1024)
+    A.add_hashes(splitmix64(np.arange(60_000, dtype=np.uint64)))
+    B.add_hashes(splitmix64(np.arange(40_000, 100_000, dtype=np.uint64)))
+    est = A.difference_estimate(B)
+    assert abs(est - 40_000) / 40_000 < 0.15
+    # identity on the common-theta sample (in retained-hash counts, which
+    # are exact): #(A∖B sample) + #(A∩B sample) == #(A sample)
+    theta = min(A.theta(), B.theta())
+    t = np.uint64(theta)
+    a_s, b_s = A.hashes[A.hashes < t], B.hashes[B.hashes < t]
+    scale = 2.0**64 / theta
+    n_common = np.intersect1d(a_s, b_s).shape[0]
+    assert est == (a_s.shape[0] - n_common) * scale
+    assert A.intersection_estimate(B) == n_common * scale
+
+
 def test_kmv_intersection_estimate():
     import numpy as np
     from sketches_rust_spark.kernel.bits import splitmix64
