@@ -437,9 +437,10 @@ def weighted_quantile_query(table: str, value_expr: str, weight_expr: str,
 
 def cubic_quantile_query(table: str, value_expr: str, groups: list[str],
                          quantiles: dict[str, float], alpha: float = ALPHA):
-    """LogCubic mapping (bit-extraction log) through the pandas path.
-    Rows-only driver check: the cubic bucket math is not SQL-expressible;
-    accuracy is pinned by golden vectors + error-bound pytest."""
+    """LogCubic mapping (bit-extraction log) through the pandas path,
+    hash-pinned by the layout='cubic' DuckDB oracle (exact exponent /
+    significand extraction via corrected floor(log2) + power-of-two
+    division; see functions/oracle.py)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load(spark, sf_dir, table).select(
             *groups, F.expr(value_expr).cast("double").alias("_v"))
@@ -1160,8 +1161,12 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "pipeline_quality_dedup_sketch": ddsketch_quantile_oracle_sql(
         _pipeline_quality_dedup_subquery(0.9), "length(text)", ["lang"],
         {"p50": 0.5, "p99": 0.99}, ALPHA),
-    # ddsketch_cubic_textlen_by_lang: rows-only (LogCubic bit math not
-    # SQL-expressible; golden vectors + pytest error bounds cover it).
+    # LogCubic IS SQL-expressible: IEEE exponent = corrected floor(log2),
+    # exact power-of-two division for the significand, cubic + Cardano in
+    # the kernel's op order (oracle.py layout='cubic'; index side verified
+    # exactly against the kernel on 70k+ values incl. power-of-two edges)
+    "ddsketch_cubic_textlen_by_lang": ddsketch_quantile_oracle_sql(
+        "documents", "length(text)", ["lang"], _P503, ALPHA, layout="cubic"),
     # ddsketch_cubic_bound_check turns the alpha guarantee into
     # deterministic booleans the oracle can pin:
     "ddsketch_cubic_bound_check": cubic_bound_check_oracle_sql(
