@@ -27,9 +27,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return DDSKETCH_QUERIES["ddsketch_textlen_by_lang"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness artifact records at most 50 queries:
+# CORRECTNESS_r03.json held exactly the first 50 of the 53 then-registered
+# queries in registration order, silently dropping the last 3 (which were
+# hash-green when run directly). Staying at or under the cap guarantees
+# every registered query appears in the driver file; related proofs are
+# consolidated into long-format union queries instead of dropped
+# (see operators/queries.py: multimodal_all_query and friends).
+MAX_DRIVER_QUERIES = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(DDSKETCH_QUERIES)
+    qs = dict(DDSKETCH_QUERIES)
+    assert len(qs) <= MAX_DRIVER_QUERIES, (
+        f"{len(qs)} queries registered but the driver records only "
+        f"{MAX_DRIVER_QUERIES}; consolidate (queries beyond the cap would "
+        "be silently unverified)")
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(DDSKETCH_ORACLES)
+    os_ = dict(DDSKETCH_ORACLES)
+    unknown = set(os_) - set(DDSKETCH_QUERIES)
+    assert not unknown, f"oracles without a query: {sorted(unknown)}"
+    return os_

@@ -906,59 +906,168 @@ def keep_canonical_query(max_hamming: int = 3, n_blocks: int | None = 6):
     return run
 
 
-def multimodal_image_query():
-    """Image decode + feature extraction over a binary media column (payload
-    = utf-8 document bytes, deterministic sandbox decoder; the Spark-side
-    Arrow-batched mapInPandas plumbing is the production shape)."""
+def multimodal_all_query(every_nth: int = 2, factor: int = 2):
+    """All four multimodal stages (image features, audio features, video
+    frame sampling, image resize) melted into ONE long-format result so the
+    whole multimodal surface fits a single driver row. The driver's
+    correctness artifact records at most 50 queries (CORRECTNESS_r03 held
+    exactly the first 50 of 53 registered, in registration order), so the
+    four per-stage queries are consolidated; each stage is still oracled
+    per-row at full fidelity — the melt loses nothing.
+
+    Schema: (stage, media_id, metric, dval, sval); sval = '' where a stage
+    has no string metric (no NULLs, keeping the driver hash unambiguous)."""
+
+    def melt(df: DataFrame, stage: str, id_col: str,
+             dcols: list[str]) -> DataFrame:
+        kvs = [F.struct(F.lit(c).alias("metric"),
+                        F.col(c).cast("double").alias("dval"))
+               for c in dcols]
+        return df.select(
+            F.lit(stage).alias("stage"), F.col(id_col).alias("media_id"),
+            F.explode(F.array(*kvs)).alias("kv")
+        ).select("stage", "media_id", F.col("kv.metric").alias("metric"),
+                 F.col("kv.dval").alias("dval"), F.lit("").alias("sval"))
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .multimodal import decode_image_features, media_from_documents
-        media = media_from_documents(load(spark, sf_dir, "documents"))
-        feats = decode_image_features(media, fake=True)
-        return feats.select(
-            "media_id",
-            F.col("width").cast("long").alias("width"),
+        from .multimodal import (decode_audio_features, decode_image_features,
+                                 media_from_documents, resize_images,
+                                 sample_video_frames)
+        docs = load(spark, sf_dir, "documents")
+        img = decode_image_features(
+            media_from_documents(docs), fake=True).select(
+            "media_id", F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
-            F.round("mean_luma", 9).alias("mean_luma"),
-            "n_bytes")
+            F.round("mean_luma", 9).alias("mean_luma"), "n_bytes")
+        aud = decode_audio_features(
+            media_from_documents(docs, "audio"), fake=True).select(
+            "media_id", F.round("duration_s", 9).alias("duration_s"),
+            F.round("mean_amp", 9).alias("mean_amp"), "n_bytes")
+        frames = sample_video_frames(
+            media_from_documents(docs, "video"), every_nth=every_nth,
+            fake=True).select(
+            F.lit("frame_sample").alias("stage"),
+            F.col("media_id"),
+            F.col("frame_idx").cast("string").alias("metric"),
+            F.length("frame").cast("double").alias("dval"),
+            F.md5("frame").alias("sval"))
+        rez = resize_images(
+            media_from_documents(docs), factor=factor, fake=True).select(
+            F.lit("image_resize").alias("stage"),
+            F.col("media_id"),
+            F.lit("resized").alias("metric"),
+            F.col("out_bytes").cast("double").alias("dval"),
+            F.md5("resized").alias("sval"))
+        return (melt(img, "image_features", "media_id",
+                     ["width", "height", "mean_luma", "n_bytes"])
+                .unionByName(melt(aud, "audio_features", "media_id",
+                                  ["duration_s", "mean_amp", "n_bytes"]))
+                .unionByName(frames)
+                .unionByName(rez))
     return run
 
 
-def multimodal_frames_query(every_nth: int = 2):
-    """Video frame-sampling plumbing: 1->N fan-out through mapInPandas;
-    frames compared by md5 so binary payloads stay oracle-checkable."""
+def multimodal_all_oracle_sql(every_nth: int = 2, factor: int = 2) -> str:
+    from .multimodal import (audio_features_oracle_sql,
+                             frame_sample_oracle_sql,
+                             image_features_oracle_sql,
+                             resize_images_oracle_sql)
+
+    def melt_sql(inner: str, stage: str, pairs: list[str]) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT '{stage}' AS stage, media_id, '{c}' AS metric, "
+            f"CAST({c} AS DOUBLE) AS dval, '' AS sval FROM sub_{stage}"
+            for c in pairs)
+        return f"sub_{stage} AS ({inner})", arms
+
+    img_cte, img_sel = melt_sql(image_features_oracle_sql("documents"),
+                                "image_features",
+                                ["width", "height", "mean_luma", "n_bytes"])
+    aud_cte, aud_sel = melt_sql(audio_features_oracle_sql("documents"),
+                                "audio_features",
+                                ["duration_s", "mean_amp", "n_bytes"])
+    frm = frame_sample_oracle_sql("documents", every_nth=every_nth)
+    rez = resize_images_oracle_sql("documents", factor=factor)
+    return f"""
+WITH {img_cte},
+{aud_cte},
+sub_frames AS ({frm}),
+sub_resize AS ({rez})
+{img_sel}
+UNION ALL {aud_sel}
+UNION ALL SELECT 'frame_sample' AS stage, media_id,
+       CAST(frame_idx AS VARCHAR) AS metric,
+       CAST(frame_bytes AS DOUBLE) AS dval, frame_md5 AS sval
+FROM sub_frames
+UNION ALL SELECT 'image_resize' AS stage, media_id, 'resized' AS metric,
+       CAST(out_bytes AS DOUBLE) AS dval, resized_md5 AS sval
+FROM sub_resize
+"""
+
+
+def sketch_sql_union_surface_query(hll_q, kmv_q, cms_q, bloom_q):
+    """The four sibling-sketch SQL-merge-surface proofs (hll/kmv/cms/bloom
+    blobs merged through the registered GROUPED_AGG UDFs inside spark.sql)
+    in ONE long-format result — consolidation for the driver's 50-row
+    correctness cap (see multimodal_all_query). Each sub-proof is unchanged;
+    scalar estimates carry probe = -1."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .multimodal import media_from_documents, sample_video_frames
-        media = media_from_documents(load(spark, sf_dir, "documents"), "video")
-        frames = sample_video_frames(media, every_nth=every_nth, fake=True)
-        return frames.select(
-            "media_id",
-            F.col("frame_idx").cast("long").alias("frame_idx"),
-            F.md5("frame").alias("frame_md5"),
-            F.length("frame").cast("long").alias("frame_bytes"))
+        h = hll_q(spark, sf_dir).select(
+            F.lit("hll").alias("sketch"), F.lit(-1).cast("long").alias("probe"),
+            F.col("est").cast("double").alias("val"))
+        k = kmv_q(spark, sf_dir).select(
+            F.lit("kmv").alias("sketch"), F.lit(-1).cast("long").alias("probe"),
+            F.col("est").cast("double").alias("val"))
+        c = cms_q(spark, sf_dir).select(
+            F.lit("cms").alias("sketch"), F.col("probe").cast("long").alias("probe"),
+            F.col("est").cast("double").alias("val"))
+        b = bloom_q(spark, sf_dir).select(
+            F.lit("bloom").alias("sketch"), F.col("probe").cast("long").alias("probe"),
+            F.when(F.col("member"), 1.0).otherwise(0.0).alias("val"))
+        return h.unionByName(k).unionByName(c).unionByName(b)
     return run
 
 
-def multimodal_audio_query():
+def sketch_sql_union_surface_oracle_sql(hll_sql: str, kmv_sql: str,
+                                        cms_sql: str, bloom_sql: str) -> str:
+    return f"""
+WITH sub_hll AS ({hll_sql}), sub_kmv AS ({kmv_sql}),
+sub_cms AS ({cms_sql}), sub_bloom AS ({bloom_sql})
+SELECT 'hll' AS sketch, CAST(-1 AS BIGINT) AS probe, CAST(est AS DOUBLE) AS val FROM sub_hll
+UNION ALL SELECT 'kmv' AS sketch, CAST(-1 AS BIGINT) AS probe, CAST(est AS DOUBLE) AS val FROM sub_kmv
+UNION ALL SELECT 'cms' AS sketch, CAST(probe AS BIGINT) AS probe, CAST(est AS DOUBLE) AS val FROM sub_cms
+UNION ALL SELECT 'bloom' AS sketch, CAST(probe AS BIGINT) AS probe,
+       CASE WHEN member THEN 1.0 ELSE 0.0 END AS val FROM sub_bloom
+"""
+
+
+def merged_rank_checks_query(tdigest_q, kll_q):
+    """Both order-dependent sketches' SQL-merge rank-check proofs (t-digest
+    over events, KLL over lineitem) in one result — consolidation for the
+    driver's 50-row correctness cap; the per-kind checks are unchanged."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .multimodal import decode_audio_features, media_from_documents
-        media = media_from_documents(load(spark, sf_dir, "documents"), "audio")
-        feats = decode_audio_features(media, fake=True)
-        return feats.select(
-            "media_id",
-            F.round("duration_s", 9).alias("duration_s"),
-            F.round("mean_amp", 9).alias("mean_amp"),
-            "n_bytes")
+        t = tdigest_q(spark, sf_dir).select(
+            F.lit("tdigest").alias("kind"),
+            F.col("event_type").alias("grp"),
+            "cnt", "p50_ok", "p90_ok", "p99_ok")
+        k = kll_q(spark, sf_dir).select(
+            F.lit("kll").alias("kind"),
+            F.col("l_returnflag").alias("grp"),
+            "cnt", "p50_ok", "p90_ok", "p99_ok")
+        return t.unionByName(k)
     return run
 
 
-def multimodal_resize_query(factor: int = 2):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .multimodal import media_from_documents, resize_images
-        media = media_from_documents(load(spark, sf_dir, "documents"))
-        out = resize_images(media, factor=factor, fake=True)
-        return out.select("media_id", "out_bytes",
-                          F.md5("resized").alias("resized_md5"))
-    return run
+def merged_rank_checks_oracle_sql() -> str:
+    t = quantile_rank_check_oracle_sql("events", "value", ["event_type"], _P503)
+    k = quantile_rank_check_oracle_sql("lineitem", "l_extendedprice",
+                                       ["l_returnflag"], _P503)
+    return f"""
+WITH sub_t AS ({t}), sub_k AS ({k})
+SELECT 'tdigest' AS kind, event_type AS grp, cnt, p50_ok, p90_ok, p99_ok FROM sub_t
+UNION ALL
+SELECT 'kll' AS kind, l_returnflag AS grp, cnt, p50_ok, p90_ok, p99_ok FROM sub_k
+"""
 
 
 def cms_topk_query(table: str, item_expr: str, k: int,
@@ -1038,8 +1147,18 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_daily_quantiles": windowed_streaming_query(
         "events", "value", "event_type", "ts", {"p50": 0.5, "p99": 0.99}),
     "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
-    "hll_union_events_sql": hll_union_sql_query(
-        "events", "user_id", "event_type", ["purchase", "click"], p=14),
+    # all four sibling SQL-merge-surface proofs in one long-format result
+    # (driver records at most 50 correctness rows; see multimodal_all_query)
+    "sketch_sql_union_surface": sketch_sql_union_surface_query(
+        hll_union_sql_query("events", "user_id", "event_type",
+                            ["purchase", "click"], p=14),
+        kmv_union_sql_query("events", "user_id", "event_type",
+                            ["purchase", "click"], k=256),
+        cms_union_sql_query("events", "user_id", "event_type",
+                            _CMS_PROBES, depth=5, width=2048),
+        bloom_union_sql_query("events", "user_id", "event_type",
+                              ["purchase", "click"], _BLOOM_PROBES,
+                              m_bits=1 << 17, k=5)),
     "ddsketch_sql_surface_quantiles": ddsketch_sql_surface_query(
         "documents", "length(text)", "lang", {"p50": 0.5, "p99": 0.99}),
     "hll_partkeys_by_returnflag": hll_query(
@@ -1048,15 +1167,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "user_id", ["event_type"], k=256),
     "kmv_common_users_purchase_click": kmv_intersection_query(
         "events", "user_id", "event_type", "purchase", "click", k=256),
-    "kmv_union_events_sql": kmv_union_sql_query(
-        "events", "user_id", "event_type", ["purchase", "click"], k=256),
     "cms_user_event_counts": cms_probe_query(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
-    "cms_union_events_sql": cms_union_sql_query(
-        "events", "user_id", "event_type", _CMS_PROBES, depth=5, width=2048),
-    "bloom_union_events_sql": bloom_union_sql_query(
-        "events", "user_id", "event_type", ["purchase", "click"],
-        _BLOOM_PROBES, m_bits=1 << 17, k=5),
     "bloom_purchase_users": bloom_probe_query(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),
@@ -1065,11 +1177,13 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_price_by_returnflag": quantile_rank_check_query(
         "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
         bound=0.03),
-    "tdigest_sql_merge_rank_check": quantile_sql_merge_rank_check_query(
-        "tdigest", "events", "value", ["event_type"], _P503, bound=0.03),
-    "kll_sql_merge_rank_check": quantile_sql_merge_rank_check_query(
-        "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
-        bound=0.03),
+    # t-digest + KLL SQL-merge rank checks in one result (50-row driver cap)
+    "sketch_sql_merge_rank_checks": merged_rank_checks_query(
+        quantile_sql_merge_rank_check_query(
+            "tdigest", "events", "value", ["event_type"], _P503, bound=0.03),
+        quantile_sql_merge_rank_check_query(
+            "kll", "lineitem", "l_extendedprice", ["l_returnflag"], _P503,
+            bound=0.03)),
     "text_features_documents": text_features_query(),
     "dedup_exact_stats": exact_dup_stats_query(),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
@@ -1090,11 +1204,9 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         threshold=0.4, nbits=6, dim=64),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
-    "multimodal_image_features": multimodal_image_query(),
+    # all four multimodal stages in one long-format result (50-row cap)
+    "multimodal_media_stages": multimodal_all_query(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprint_query(),
-    "multimodal_frame_sample": multimodal_frames_query(every_nth=2),
-    "multimodal_audio_features": multimodal_audio_query(),
-    "multimodal_image_resize": multimodal_resize_query(factor=2),
 }
 
 from ..functions.sibling_oracle import (  # noqa: E402
@@ -1110,12 +1222,6 @@ from .dedup import (  # noqa: E402
     minhash_lsh_oracle_sql,
     ngram_jaccard_oracle_sql,
     simhash_pairs_oracle_sql,
-)
-from .multimodal import (  # noqa: E402
-    audio_features_oracle_sql,
-    frame_sample_oracle_sql,
-    image_features_oracle_sql,
-    resize_images_oracle_sql,
 )
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
@@ -1191,9 +1297,17 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "event_type, value FROM events)",
         "value", ["day", "event_type"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_users_by_event_type": hll_oracle_sql("events", "user_id", ["event_type"], 14),
-    "hll_union_events_sql": hll_oracle_sql(
-        "events", "user_id", [], 14,
-        where="event_type IN ('purchase', 'click')"),
+    # SQL-merged per-group blobs == a build over the unioned groups' rows
+    # (HLL register max / bottom-k union / counter additivity / bitset OR)
+    "sketch_sql_union_surface": sketch_sql_union_surface_oracle_sql(
+        hll_oracle_sql("events", "user_id", [], 14,
+                       where="event_type IN ('purchase', 'click')"),
+        kmv_oracle_sql("events", "user_id", [], 256,
+                       where="event_type IN ('purchase', 'click')"),
+        cms_oracle_sql("events", "user_id", _CMS_PROBES, depth=5, width=2048),
+        bloom_oracle_sql("events", "user_id", _BLOOM_PROBES,
+                         m_bits=1 << 17, k=5,
+                         where="event_type IN ('purchase', 'click')")),
     "ddsketch_sql_surface_quantiles": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_partkeys_by_returnflag": hll_oracle_sql(
@@ -1202,19 +1316,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "events", "user_id", ["event_type"], 256),
     "kmv_common_users_purchase_click": kmv_intersection_oracle_sql(
         "events", "user_id", "event_type", "purchase", "click", 256),
-    # SQL-merged per-group KMV == KMV over the unioned groups' rows
-    "kmv_union_events_sql": kmv_oracle_sql(
-        "events", "user_id", [], 256,
-        where="event_type IN ('purchase', 'click')"),
     "cms_user_event_counts": cms_oracle_sql(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
-    # SQL-merged per-group CMS == CMS over all rows (counter additivity)
-    "cms_union_events_sql": cms_oracle_sql(
-        "events", "user_id", _CMS_PROBES, depth=5, width=2048),
-    # SQL-merged per-group Blooms == bloom over the unioned groups' rows
-    "bloom_union_events_sql": bloom_oracle_sql(
-        "events", "user_id", _BLOOM_PROBES, m_bits=1 << 17, k=5,
-        where="event_type IN ('purchase', 'click')"),
     "bloom_purchase_users": bloom_oracle_sql(
         "events", "user_id", _BLOOM_PROBES, m_bits=1 << 18, k=7,
         where="event_type = 'purchase'"),
@@ -1227,10 +1330,7 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
     # blobs merged through spark.sql (tdigest_merge/kll_merge UDAFs): same
     # exact-count + rank-containment oracle pins the merged estimates
-    "tdigest_sql_merge_rank_check": quantile_rank_check_oracle_sql(
-        "events", "value", ["event_type"], _P503),
-    "kll_sql_merge_rank_check": quantile_rank_check_oracle_sql(
-        "lineitem", "l_extendedprice", ["l_returnflag"], _P503),
+    "sketch_sql_merge_rank_checks": merged_rank_checks_oracle_sql(),
     "text_features_documents": text_features_oracle_sql("documents", "doc_id"),
     "dedup_exact_stats": exact_dup_stats_oracle_sql("documents"),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_oracle_sql(
@@ -1254,9 +1354,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
-    "multimodal_image_features": image_features_oracle_sql("documents"),
+    "multimodal_media_stages": multimodal_all_oracle_sql(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
-    "multimodal_frame_sample": frame_sample_oracle_sql("documents", every_nth=2),
-    "multimodal_audio_features": audio_features_oracle_sql("documents"),
-    "multimodal_image_resize": resize_images_oracle_sql("documents", factor=2),
 }
