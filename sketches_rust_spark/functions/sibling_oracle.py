@@ -162,6 +162,48 @@ FROM common, th
 """
 
 
+def kmv_difference_oracle_sql(table: str, id_expr: str, group_col: str,
+                              group_a: str, group_b: str, k: int,
+                              round_digits: int = 2) -> str:
+    """Theta-sketch set-difference estimate |A ∖ B| between two groups' id
+    sets, arithmetic-identical to KMV.difference_estimate: theta = min of
+    the two k-th smallest hashes (2^64 below capacity), count retained A
+    hashes below theta absent from B's retained set, scale by 2^64/theta."""
+    h = splitmix64_sql(f"CAST({id_expr} AS UBIGINT)")
+    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def side(name: str, gval: str) -> str:
+        return f"""
+h_{name} AS (
+  SELECT DISTINCT {h} AS h FROM {table} WHERE {group_col} = '{gval}'
+),
+r_{name} AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS r FROM h_{name}
+),
+t_{name} AS (
+  SELECT CASE WHEN count(*) >= {k}
+          THEN CAST(max(CASE WHEN r = {k} THEN h END) AS HUGEINT)
+          ELSE {two64} END AS theta
+  FROM r_{name}
+)"""
+
+    return f"""
+WITH {side('a', group_a).lstrip()},{side('b', group_b)},
+th AS (SELECT least(t_a.theta, t_b.theta) AS theta FROM t_a, t_b),
+only_a AS (
+  SELECT count(*) AS c
+  FROM r_a, th
+  WHERE r_a.r <= {k} AND CAST(r_a.h AS HUGEINT) < th.theta
+    AND NOT EXISTS (SELECT 1 FROM r_b
+                    WHERE r_b.h = r_a.h AND r_b.r <= {k}
+                      AND CAST(r_b.h AS HUGEINT) < th.theta)
+)
+SELECT round(CAST(c AS DOUBLE) * 18446744073709551616.0
+             / CAST(theta AS DOUBLE), {round_digits}) AS est_diff
+FROM only_a, th
+"""
+
+
 def cms_oracle_sql(table: str, id_expr: str, probes: list[int],
                    depth: int, width: int, where: str = "") -> str:
     """CMS point estimates for a fixed integer probe list, counter-identical

@@ -214,6 +214,21 @@ def kmv_intersection(blobs_a: pd.Series, blobs_b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def kmv_difference(blobs_a: pd.Series, blobs_b: pd.Series) -> pd.Series:
+    """|A ∖ B| on the common-theta sample (kernel/kmv.py
+    difference_estimate) — with estimate and intersection this completes
+    the theta-sketch set algebra."""
+    out = []
+    for a, b in zip(blobs_a, blobs_b):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(KMV.decode(bytes(a)).difference_estimate(
+            KMV.decode(bytes(b))))
+    return pd.Series(out, dtype="float64")
+
+
 @pandas_udf(LongType())
 def cms_total(blobs: pd.Series) -> pd.Series:
     return pd.Series(
@@ -285,6 +300,7 @@ def register_sibling_sql(spark: SparkSession,
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("kmv_intersection", kmv_intersection)
+    spark.udf.register("kmv_difference", kmv_difference)
     spark.udf.register("kmv_merge", _merge_udaf(
         lambda sk, b: sk.decode_and_merge_with(b), lambda: KMV(kmv_k)))
     spark.udf.register("cms_total", cms_total)

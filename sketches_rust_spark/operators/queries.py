@@ -176,6 +176,32 @@ def kmv_intersection_query(table: str, id_expr: str, group_col: str,
     return run
 
 
+def kmv_difference_query(table: str, id_expr: str, group_col: str,
+                         group_a: str, group_b: str, k: int = 256):
+    """Set-difference estimate |A ∖ B| between two groups' id sets — the
+    remaining theta-sketch set operation (union = merge, intersection
+    above): one pass builds both KMV sketches, the difference UDF counts
+    retained A hashes below the common theta absent from B and scales.
+    Exact DuckDB replica of the whole computation."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch_udafs import (
+            kmv_adapter, kmv_difference, sketch_aggregate)
+        df = (load(spark, sf_dir, table)
+              .where(F.col(group_col).isin([group_a, group_b]))
+              .select(F.col(group_col).alias("_g"),
+                      F.expr(id_expr).cast("long").alias("_id")))
+        agg = sketch_aggregate(df, "_id", ["_g"],
+                               kmv_adapter(k, hash_mode="splitmix"))
+        both = agg.agg(
+            F.first(F.when(F.col("_g") == group_a, F.col("sketch")),
+                    ignorenulls=True).alias("_sa"),
+            F.first(F.when(F.col("_g") == group_b, F.col("sketch")),
+                    ignorenulls=True).alias("_sb"))
+        return both.select(
+            F.round(kmv_difference("_sa", "_sb"), 2).alias("est_diff"))
+    return run
+
+
 def kmv_union_sql_query(table: str, id_expr: str, group_col: str,
                         group_vals: list[str], k: int = 256):
     """KMV merge through the SQL surface (mirrors hll/cms/bloom union
@@ -1167,6 +1193,12 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "user_id", ["event_type"], k=256),
     "kmv_common_users_purchase_click": kmv_intersection_query(
         "events", "user_id", "event_type", "purchase", "click", k=256),
+    # orderkeys returned (R) but never shipped-intact (N): ~26% of the R
+    # set, deep in the sampled regime (11k+ distinct vs k=256) — a
+    # non-degenerate difference (user_id x event_type pairs all overlap
+    # fully in this fixture, so they'd pin nothing)
+    "kmv_diff_orderkeys_r_not_n": kmv_difference_query(
+        "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256),
     "cms_user_event_counts": cms_probe_query(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     "bloom_purchase_users": bloom_probe_query(
@@ -1213,6 +1245,7 @@ from ..functions.sibling_oracle import (  # noqa: E402
     bloom_oracle_sql,
     cms_oracle_sql,
     hll_oracle_sql,
+    kmv_difference_oracle_sql,
     kmv_intersection_oracle_sql,
     kmv_oracle_sql,
 )
@@ -1316,6 +1349,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "events", "user_id", ["event_type"], 256),
     "kmv_common_users_purchase_click": kmv_intersection_oracle_sql(
         "events", "user_id", "event_type", "purchase", "click", 256),
+    "kmv_diff_orderkeys_r_not_n": kmv_difference_oracle_sql(
+        "lineitem", "l_orderkey", "l_returnflag", "R", "N", 256),
     "cms_user_event_counts": cms_oracle_sql(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     "bloom_purchase_users": bloom_oracle_sql(
