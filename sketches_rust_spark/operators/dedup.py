@@ -234,6 +234,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+# -- benchmark contamination (eval-set leakage) -----------------------------------------------
+
+def contamination_pairs(corpus: DataFrame, evalset: DataFrame,
+                        min_common: int = 4,
+                        corpus_id: str = "doc_id", eval_id: str = "item_id",
+                        text_col: str = "text", shingle_k: int = 3,
+                        max_eval_df: int | None = None) -> DataFrame:
+    """Eval-set leakage detection: corpus docs sharing >= min_common
+    distinct k-shingles with any eval item, as (doc_id, item_id, n_common).
+
+    Scale shape: the eval side (thousands of items) is exploded to shingle
+    hashes and BROADCAST; the corpus side (the 10^12-doc table) streams
+    through a broadcast hash join — no shuffle of corpus rows. The only
+    exchange is the (doc, item) count aggregation, whose size is bounded by
+    actual shingle matches, and partial aggregation runs map-side first.
+
+    max_eval_df: optional doc-frequency cap on the EVAL shingle set (a
+    stop-shingle present in many eval items multiplies every matching
+    corpus row by its eval fan-out; rare shingles carry the leakage
+    signal). Cheap — computed on the small side before broadcast."""
+    c_sh = shingle_hashes(corpus, corpus_id, text_col, shingle_k)
+    e_sh = shingle_hashes(evalset, eval_id, text_col, shingle_k)
+    if max_eval_df is not None:
+        from pyspark.sql import Window
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        e_sh = (e_sh.withColumn("_df", dfreq)
+                .where(F.col("_df") <= max_eval_df).drop("_df"))
+    joined = c_sh.withColumnRenamed("_id", "doc_id").join(
+        F.broadcast(e_sh.withColumnRenamed("_id", "item_id")), "h")
+    return (joined.groupBy("doc_id", "item_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .where(F.col("n_common") >= min_common))
+
+
+def contamination_oracle_sql(corpus_table: str, eval_table: str,
+                             min_common: int,
+                             corpus_id: str = "doc_id",
+                             eval_id: str = "item_id",
+                             text_col: str = "text", shingle_k: int = 3,
+                             max_eval_df: int | None = None) -> str:
+    """Exact shingle-intersection counts in DuckDB (same 60-bit md5 base
+    hash, distinct per document on both sides)."""
+    e_src = "shh_e"
+    if max_eval_df is not None:
+        e_src = "capped_e"
+        cap = f""",
+capped_e AS (
+  SELECT _id, h FROM shh_e
+  WHERE h IN (SELECT h FROM shh_e GROUP BY h HAVING count(*) <= {max_eval_df})
+)"""
+    else:
+        cap = ""
+    return f"""
+WITH {_duck_shingle_hashes(corpus_table, corpus_id, text_col, shingle_k, suffix='_c')},
+{_duck_shingle_hashes(eval_table, eval_id, text_col, shingle_k, suffix='_e').lstrip()}{cap}
+SELECT c._id AS doc_id, e._id AS item_id,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM shh_c c JOIN {e_src} e USING (h)
+GROUP BY 1, 2
+HAVING count(*) >= {min_common}
+"""
+
+
 # -- SimHash -------------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -475,22 +538,25 @@ FROM {table}
 """
 
 
-def _duck_shingle_hashes(table: str, id_col: str, text_col: str, k: int) -> str:
-    """DuckDB CTE text for per-doc distinct shingle base-hashes."""
+def _duck_shingle_hashes(table: str, id_col: str, text_col: str, k: int,
+                         suffix: str = "") -> str:
+    """DuckDB CTE text for per-doc distinct shingle base-hashes. ``suffix``
+    renames the CTEs (toks/sh/shh -> toks<suffix>/...) so two instances can
+    coexist in one query (e.g. corpus + evalset)."""
     return f"""
-toks AS (SELECT {id_col} AS _id, string_split({text_col}, ' ') AS t FROM {table}),
-sh AS (
+toks{suffix} AS (SELECT {id_col} AS _id, string_split({text_col}, ' ') AS t FROM {table}),
+sh{suffix} AS (
   SELECT _id,
          unnest(CASE WHEN len(t) >= {k}
                 THEN list_transform(range(1, len(t) - {k} + 2),
                                     i -> array_to_string(t[i:i+{k - 1}], ' '))
                 ELSE [array_to_string(t, ' ')] END) AS s
-  FROM toks
+  FROM toks{suffix}
 ),
-shh AS (
+shh{suffix} AS (
   SELECT DISTINCT _id,
          CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS h
-  FROM sh
+  FROM sh{suffix}
 )"""
 
 

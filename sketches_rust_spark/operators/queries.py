@@ -904,6 +904,25 @@ def embedding_near_dup_query(threshold: float = 0.4, nbits: int = 6,
     return run
 
 
+def contamination_query(min_common: int = 6, shingle_k: int = 3,
+                        eval_mod: int = 20, eval_rem: int = 1):
+    """Benchmark-contamination detection: flag corpus docs sharing
+    >= min_common shingles with any eval item. The evalset is a
+    deterministic slice of the documents fixture (doc_id % eval_mod ==
+    eval_rem) standing in for a held-out benchmark; the eval side is
+    BROADCAST so the corpus never shuffles (plan-asserted in
+    tests/test_pipeline_ops.py)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import contamination_pairs
+        docs = load(spark, sf_dir, "documents")
+        evalset = (docs.where(F.pmod(F.col("doc_id"), F.lit(eval_mod))
+                              == eval_rem)
+                   .select(F.col("doc_id").alias("item_id"), "text"))
+        return contamination_pairs(docs, evalset, min_common=min_common,
+                                   shingle_k=shingle_k)
+    return run
+
+
 def simhash_pairs_query(max_hamming: int = 3, n_blocks: int | None = 6):
     """n_blocks=6 (Manku multi-block, C(6,3)=20 keys of ~32 bits) is the
     scale-safe blocking: single-block 16-bit buckets emit ~92 candidates per
@@ -1235,6 +1254,7 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
         threshold=0.4, nbits=6, dim=64),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
+    "contamination_evalset_overlap": contamination_query(min_common=6),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
     # all four multimodal stages in one long-format result (50-row cap)
     "multimodal_media_stages": multimodal_all_query(every_nth=2, factor=2),
@@ -1250,6 +1270,7 @@ from ..functions.sibling_oracle import (  # noqa: E402
     kmv_oracle_sql,
 )
 from .dedup import (  # noqa: E402
+    contamination_oracle_sql,
     exact_dup_stats_oracle_sql,
     keep_canonical_oracle_sql,
     minhash_lsh_oracle_sql,
@@ -1388,6 +1409,10 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "embeddings", 0.4, dim=64, nbits=6, multi_probe=1),
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
+    "contamination_evalset_overlap": contamination_oracle_sql(
+        "documents",
+        "(SELECT doc_id AS item_id, text FROM documents WHERE doc_id % 20 = 1)",
+        min_common=6),
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
     "multimodal_media_stages": multimodal_all_oracle_sql(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),

@@ -630,3 +630,57 @@ def test_ivf_recall_vs_n_probe_sweep(spark, embeddings):
     assert recalls[16] == 1.0          # probing everything == brute force
     assert recalls[4] >= recalls[1] - 0.05  # more probes, no real recall loss
     assert recalls[1] > 0.2            # single-cluster probe finds something
+
+
+def test_contamination_pairs_broadcast_and_oracle(spark):
+    """Eval-set leakage detection: the eval side must be broadcast (the
+    corpus never shuffles for the join), counts must match the exact DuckDB
+    shingle-intersection oracle, and identity items (the evalset is a slice
+    of the corpus) must always be flagged."""
+    import duckdb
+
+    from sketches_rust_spark.operators.dedup import (
+        contamination_oracle_sql, contamination_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    evalset = (docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == 1)
+               .select(F.col("doc_id").alias("item_id"), "text"))
+    out = contamination_pairs(docs, evalset, min_common=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan      # eval side broadcast
+    got = out.toPandas().sort_values(["doc_id", "item_id"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = (con.execute(contamination_oracle_sql(
+        "documents",
+        "(SELECT doc_id AS item_id, text FROM documents WHERE doc_id % 20 = 1)",
+        min_common=6)).df()
+        .astype({"doc_id": "int64", "item_id": "int64", "n_common": "int64"})
+        .sort_values(["doc_id", "item_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_common": "int64"}), want)
+    # every eval item matches itself with its full shingle count
+    ids = {r.item_id for r in evalset.select("item_id").collect()}
+    flagged_self = {r.doc_id for r in out.where("doc_id = item_id").collect()}
+    assert flagged_self == ids
+
+
+def test_contamination_max_eval_df_cap(spark):
+    """The eval-side doc-frequency cap drops stop-shingles before the
+    broadcast: a shingle present in > max_eval_df eval items must not
+    produce candidates by itself."""
+    from sketches_rust_spark.operators.dedup import contamination_pairs
+
+    rows = [(i, "alpha beta gamma common common tail%d x y z" % i)
+            for i in range(6)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    evalset = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma shared shared only%d" % i)
+         for i in range(4)], ["item_id", "text"])
+    # 'alpha beta gamma' appears in all 4 eval items -> capped away at df<=2
+    capped = contamination_pairs(corpus, evalset, min_common=1, max_eval_df=2)
+    assert capped.count() == 0
+    uncapped = contamination_pairs(corpus, evalset, min_common=1)
+    assert uncapped.count() == 24  # 6 docs x 4 items via the stop-shingle
