@@ -923,6 +923,36 @@ def contamination_query(min_common: int = 6, shingle_k: int = 3,
     return run
 
 
+def incremental_dedup_query(threshold: float = 0.3, nbits: int = 6,
+                            dim: int = 64, multi_probe: int = 1,
+                            new_mod: int = 10, new_rem: int = 7):
+    """The daily-ingest dedup shape: a NEW shard (vec_id % new_mod ==
+    new_rem) deduped against the ALREADY-PERSISTED corpus signature table
+    (write_partitioned_signatures: corpus + precomputed LSH signatures,
+    partitioned by signature) WITHOUT rescanning corpus rows outside the
+    buckets the shard probes — the corpus scan is partition-pruned to the
+    shard's probe buckets (plan-asserted in tests/test_partition_pruning.py).
+    Output: surviving new-shard vec_ids."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from .similarity import (incremental_near_dup_filter,
+                                 write_partitioned_signatures)
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.pmod(F.col("vec_id"), F.lit(new_mod)) != new_rem)
+        shard = emb.where(F.pmod(F.col("vec_id"), F.lit(new_mod)) == new_rem)
+        base = tempfile.mkdtemp(prefix="inc_dedup_corpus_")
+        table = f"inc_dedup_corpus_{abs(hash(base)) % (1 << 30)}"
+        # one-time corpus persist (at scale this table already exists and
+        # amortizes over every daily shard; the tempdir stands in for it)
+        write_partitioned_signatures(corpus, f"{base}/corpus", table,
+                                     "embedding", dim=dim, nbits=nbits)
+        return incremental_near_dup_filter(
+            shard, spark.table(table), threshold, dim=dim, nbits=nbits,
+            multi_probe=multi_probe)
+    return run
+
+
 def simhash_pairs_query(max_hamming: int = 3, n_blocks: int | None = 6):
     """n_blocks=6 (Manku multi-block, C(6,3)=20 keys of ~32 bits) is the
     scale-safe blocking: single-block 16-bit buckets emit ~92 candidates per
@@ -1254,6 +1284,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
         threshold=0.4, nbits=6, dim=64),
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
+    "dedup_incremental_new_shard": incremental_dedup_query(
+        threshold=0.3, nbits=6, dim=64),
     "contamination_evalset_overlap": contamination_query(min_common=6),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
     # all four multimodal stages in one long-format result (50-row cap)
@@ -1280,6 +1312,7 @@ from .dedup import (  # noqa: E402
 from .similarity import (  # noqa: E402
     brute_force_topk_oracle_sql,
     embedding_near_dup_oracle_sql,
+    incremental_near_dup_oracle_sql,
     ivf_topk_oracle_sql,
     lsh_topk_oracle_sql,
 )
@@ -1409,6 +1442,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "embeddings", 0.4, dim=64, nbits=6, multi_probe=1),
     "dedup_keep_canonical_docs": keep_canonical_oracle_sql(
         "documents", "doc_id", "text", 3),
+    "dedup_incremental_new_shard": incremental_near_dup_oracle_sql(
+        "embeddings", "vec_id % 10 = 7", 0.3, dim=64, nbits=6, multi_probe=1),
     "contamination_evalset_overlap": contamination_oracle_sql(
         "documents",
         "(SELECT doc_id AS item_id, text FROM documents WHERE doc_id % 20 = 1)",

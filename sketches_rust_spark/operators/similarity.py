@@ -513,6 +513,111 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold!r}
 """
 
 
+def write_partitioned_signatures(df: DataFrame, path: str, table: str,
+                                 vec_col: str, dim: int, nbits: int) -> None:
+    """Persist the corpus with precomputed signatures, PARTITIONED by the
+    signature value (2^nbits directories; nbits is small for dedup buckets,
+    so this is 64-256 partitions each holding a large slice — the layout
+    that lets an incremental run read only the buckets a new shard
+    touches, via partition pruning, instead of rescanning the corpus)."""
+    (with_lsh_signature(df, vec_col, dim, nbits)
+     .write.mode("overwrite").format("parquet")
+     .partitionBy("_sig")
+     .option("path", path).saveAsTable(table))
+
+
+def incremental_near_dup_filter(new_shard: DataFrame, corpus: DataFrame,
+                                threshold: float, dim: int,
+                                nbits: int = 6, multi_probe: int = 1,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Daily-ingest dedup: keep only new-shard rows with NO near-duplicate
+    (same Hamming-ball bucket rule + cosine >= threshold as
+    embedding_near_dup_pairs) in the PERSISTED corpus. Returns the
+    surviving (vec_id) rows.
+
+    ``corpus`` should be a table written by write_partitioned_signatures —
+    it already carries ``_sig`` and is partitioned by it, so the join on
+    the signature prunes corpus partitions to exactly the buckets the new
+    shard probes (the corpus text/vectors outside those buckets are never
+    read). The new shard (small side) computes its signatures fresh and is
+    broadcast after exploding its probe masks."""
+    masks = probe_masks(nbits, multi_probe)
+    new_sig = with_lsh_signature(new_shard, vec_col, dim, nbits)
+    vn = F.col("_vn").cast("array<double>")
+    vc = F.col(vec_col).cast("array<double>")
+    probe = (new_sig.select(F.col(id_col).alias("_nid"),
+                            F.col(vec_col).alias("_vn"),
+                            F.col("_sig").alias("_nsig"))
+             .withColumn("_nn", _norm(vn))
+             .withColumn("_sig", F.explode(F.array(
+                 *[F.col("_nsig").bitwiseXOR(F.lit(m).cast("long"))
+                   for m in masks]))))
+    # broadcast the exploded new shard; the corpus scan joins on its
+    # partition column -> dynamic partition pruning limits the scan to
+    # the probed buckets (plan-asserted in tests)
+    cand = corpus.join(F.broadcast(probe), "_sig").where(
+        F.col(id_col) != F.col("_nid"))
+    dup_ids = (cand.select(
+        "_nid",
+        (F.round(_dot(vc, vn) / (_norm(vc) * F.col("_nn")), 6)
+         >= threshold).alias("_isdup"))
+        .where(F.col("_isdup"))
+        .select(F.col("_nid").alias(id_col)).distinct())
+    return (new_shard.select(id_col)
+            .join(dup_ids, id_col, "left_anti")
+            .select(F.col(id_col).cast("long").alias(id_col)))
+
+
+def incremental_near_dup_oracle_sql(table: str, new_pred: str,
+                                    threshold: float, dim: int,
+                                    nbits: int = 6, multi_probe: int = 1,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> str:
+    """Exact replica of incremental_near_dup_filter over one base table
+    split by ``new_pred`` (rows satisfying it = the new shard, the rest =
+    the persisted corpus): a new row survives iff no corpus row lies within
+    Hamming distance multi_probe of its signature with cosine >= threshold."""
+    from ..functions.sibling_oracle import splitmix64_sql
+
+    sm = splitmix64_sql("CAST(bj AS UBIGINT)")
+    return f"""
+WITH planes AS (
+  SELECT bj // {dim} AS b, bj % {dim} AS j,
+         CASE WHEN ({sm}) >= 9223372036854775808 THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {nbits * dim})) AS bj)
+),
+planes_list AS (SELECT b, list(w ORDER BY j) AS ws FROM planes GROUP BY b),
+sigs AS (
+  SELECT d.{id_col} AS vid, ({new_pred}) AS is_new,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(range(1, {dim} + 1),
+                                i -> CAST(d.{vec_col}[i] AS DOUBLE) * p.ws[i]),
+                 (a, b) -> a + b) > 0
+               THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} d, planes_list p
+  GROUP BY d.{id_col}, ({new_pred})
+),
+dups AS (
+  SELECT DISTINCT n.vid
+  FROM sigs n
+  JOIN sigs c ON NOT c.is_new AND n.is_new AND n.vid != c.vid
+             AND bit_count(xor(n.sig, c.sig)) <= {multi_probe}
+  JOIN {table} dn ON dn.{id_col} = n.vid
+  JOIN {table} dc ON dc.{id_col} = c.vid
+  WHERE round(
+          list_reduce(list_transform(range(1, {dim} + 1),
+            i -> CAST(dc.{vec_col}[i] AS DOUBLE) * CAST(dn.{vec_col}[i] AS DOUBLE)), (a, b) -> a + b)
+          / (sqrt(list_reduce(list_transform(CAST(dc.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(CAST(dn.{vec_col} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))), 6)
+        >= {threshold!r}
+)
+SELECT s.vid AS {id_col}
+FROM sigs s
+WHERE s.is_new AND s.vid NOT IN (SELECT vid FROM dups)
+"""
+
+
 def make_probes(spark: SparkSession, df: DataFrame, probe_ids: list[int],
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return (df.where(F.col(id_col).isin(probe_ids))

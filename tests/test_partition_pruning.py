@@ -44,3 +44,37 @@ def test_per_day_sketch_on_pruned_partition_matches_full_scan(spark, partitioned
                                "v", ["lang"], {"p50": 0.5}, CFG) \
         .toPandas().set_index("lang")["p50"].to_dict()
     assert a == b
+
+
+def test_incremental_dedup_prunes_corpus_to_probed_buckets(spark, tmp_path):
+    """Incremental dedup must read ONLY the corpus signature partitions the
+    new shard's probe buckets touch: the signature-partitioned corpus scan
+    carries a dynamic-pruning PartitionFilter (no full corpus rescan), and
+    the surviving set equals the brute-force recomputation."""
+    from sketches_rust_spark.operators.similarity import (
+        incremental_near_dup_filter,
+        with_lsh_signature,
+        write_partitioned_signatures,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    shard = emb.where(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    table = "inc_dedup_prune_test"
+    write_partitioned_signatures(corpus, str(tmp_path / "corpus"), table,
+                                 "embedding", dim=64, nbits=6)
+    out = incremental_near_dup_filter(shard, spark.table(table), 0.3,
+                                      dim=64, nbits=6, multi_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan's partition filter is resolved at RUNTIME from the
+    # broadcast of the shard's probe buckets
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+
+    # correctness: same survivors as a non-persisted (recompute) corpus run
+    fresh = incremental_near_dup_filter(
+        shard, with_lsh_signature(corpus, "embedding", 64, 6),
+        0.3, dim=64, nbits=6, multi_probe=1)
+    assert sorted(r.vec_id for r in out.collect()) == \
+        sorted(r.vec_id for r in fresh.collect())
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
