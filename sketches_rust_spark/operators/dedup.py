@@ -444,7 +444,8 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
 
 # -- near-dup clustering + canonical selection ------------------------------------------------
 
-def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
+                      stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs: (_id, cluster) where
     cluster = min doc id in the component.
 
@@ -467,7 +468,12 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
        10^6. Each round is three shuffles bounded by |contracted graph|.
 
     Stops early at fixpoint; raises on non-convergence rather than silently
-    splitting components (dedup_keep_canonical would retain duplicates)."""
+    splitting components (dedup_keep_canonical would retain duplicates).
+
+    stats: optional dict filled with {'input_edges', 'contracted_edges',
+    'rounds'} — extra count() actions, so pass it only when instrumenting
+    (adversarial-skew evidence lives in tests/test_pipeline_ops.py and
+    BENCH/BASELINE.md)."""
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
              ).localCheckpoint()  # pairs' lineage (blocked join) runs ONCE
@@ -483,6 +489,10 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
           .select(F.col("_ts").alias("src"), F.col("_td").alias("dst"))
           .where(F.col("src") != F.col("dst"))
           .distinct()).localCheckpoint()
+    if stats is not None:
+        stats["input_edges"] = edges.count()
+        stats["contracted_edges"] = e2.count()
+        stats["rounds"] = 0
     # phase 2: pointer-jumping min-label loop over the contracted graph
     labels = (e2.select(F.col("src").alias("_id")).distinct()
               .withColumn("cluster", F.col("_id"))).localCheckpoint()
@@ -490,6 +500,8 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     for _ in range(max_iters):
         if changed == 0:
             break
+        if stats is not None:
+            stats["rounds"] += 1
         nmin = (e2.join(labels, e2.dst == labels._id)
                 .groupBy("src").agg(F.min("cluster").alias("nmin")))
         jump = labels.select(F.col("_id").alias("_jid"),

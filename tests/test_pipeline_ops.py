@@ -684,3 +684,45 @@ def test_contamination_max_eval_df_cap(spark):
     assert capped.count() == 0
     uncapped = contamination_pairs(corpus, evalset, min_common=1)
     assert uncapped.count() == 24  # 6 docs x 4 items via the stop-shingle
+
+
+def test_cc_adversarial_skew_clique_plus_path(spark):
+    """The adversarial CC fixture: one giant clique (a template duplicated
+    into ~10% of the corpus — the worst-case skew a web crawl produces)
+    plus a long path component (the worst case for plain min-star
+    contraction, which shrinks a path by only a constant factor per round).
+
+    Must hold: (1) contraction collapses the clique in ONE step — the
+    clique contributes ZERO edges to the contracted graph; (2) pointer
+    jumping finishes the path in O(log diameter) rounds; (3) labels are
+    exactly right on both components."""
+    import math
+
+    from sketches_rust_spark.operators.dedup import near_dup_clusters
+
+    clique_n = 300          # ~10% of a 3000-doc corpus, all near-dups
+    path_n = 1024           # diameter 1023
+    clique_ids = list(range(10_000, 10_000 + clique_n))
+    clique_edges = [(a, b) for i, a in enumerate(clique_ids)
+                    for b in clique_ids[i + 1:]]
+    path_ids = list(range(50_000, 50_000 + path_n))
+    path_edges = [(path_ids[i], path_ids[i + 1]) for i in range(path_n - 1)]
+    pairs = spark.createDataFrame(clique_edges + path_edges, ["id_a", "id_b"])
+
+    stats: dict = {}
+    labels = {r._id: r.cluster
+              for r in near_dup_clusters(pairs, stats=stats).collect()}
+    assert all(labels[i] == clique_ids[0] for i in clique_ids)
+    assert all(labels[i] == path_ids[0] for i in path_ids)
+
+    # clique: every member's min closed neighbor is the clique minimum, so
+    # the whole clique contracts to one node and its ~90k edges vanish in
+    # ONE step. The path is min-star's worst case — rep(i) = i-1 merely
+    # SHIFTS it (one node shorter: (i, i+1) -> (i-1, i), (0,1) collapses),
+    # so the contracted graph is exactly the path minus one node; the
+    # pointer-jumping loop is what finishes it in O(log) rounds.
+    assert stats["input_edges"] == 2 * len(clique_edges) + 2 * len(path_edges)
+    assert stats["contracted_edges"] == 2 * (path_n - 2)
+    # pointer jumping: O(log2 diameter) rounds, not O(diameter)
+    assert stats["rounds"] <= math.ceil(math.log2(path_n)) + 2
+    assert stats["rounds"] >= 3  # the path is genuinely long (not trivial)
