@@ -138,6 +138,76 @@ def stateful_sketch_stream(
             ))
 
 
+def stateful_sketch_stream_with_eviction(
+    stream_df: DataFrame,
+    value_col: str,
+    key: str,
+    config: SketchConfig,
+    quantile: float = 0.99,
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """`stateful_sketch_stream` with BOUNDED state: a per-key processing-time
+    timeout evicts keys idle for ``timeout_ms``. Without eviction the state
+    store holds one blob per key FOREVER — under unbounded key churn (urls,
+    user ids) that is the thing that kills a long-running 100-TB streaming
+    job. Idle keys are dropped (emitting a final ``evicted=true`` row with
+    their last count); a key that reappears re-initializes from empty, so
+    the operator degrades to per-session sketches rather than dying.
+
+    Output: (key, count, estimate, evicted)."""
+    from pyspark.sql.types import BooleanType
+    out_schema = StructType([
+        StructField("key", StringType(), False),
+        StructField("count", DoubleType(), False),
+        StructField("estimate", DoubleType(), True),
+        StructField("evicted", BooleanType(), False),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        if state.hasTimedOut:
+            # idle past the timeout: emit a final marker and drop the state
+            count, est = 0.0, None
+            if state.exists:
+                (blob,) = state.get
+                if blob is not None:
+                    sk = config.new()
+                    sk.decode_and_merge_with(bytes(blob))
+                    count, est = sk.get_count(), sk.get_value_at_quantile(quantile)
+            state.remove()
+            yield pd.DataFrame([{
+                "key": key_tuple[0], "count": count,
+                "estimate": est, "evicted": True,
+            }])
+            return
+        sk = config.new()
+        if state.exists:
+            (blob,) = state.get
+            if blob is not None:
+                sk.decode_and_merge_with(bytes(blob))
+        for pdf in pdf_iter:
+            sk.accept_many(pdf[value_col].to_numpy(np.float64, na_value=np.nan))
+        state.update((bytearray(sk.encode()),))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame([{
+            "key": key_tuple[0],
+            "count": sk.get_count(),
+            "estimate": sk.get_value_at_quantile(quantile),
+            "evicted": False,
+        }])
+
+    return (stream_df
+            .groupBy(F.col(key))
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            ))
+
+
 def windowed_sketch_histogram(
     stream_df: DataFrame,
     value_col: str,

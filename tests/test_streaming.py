@@ -143,3 +143,82 @@ def test_windowed_histogram_weighted(spark, tmp_path, events_stream_dir):
     got = {(r["event_type"], r["side"], r["idx"]): r["c"] for r in
            spark.sql("SELECT event_type, side, idx, c FROM win_hist_w").collect()}
     assert got == want
+
+
+def test_stateful_eviction_bounds_state_and_reinitializes(spark, tmp_path):
+    """The timeout-eviction variant must (1) evict idle keys — emitting a
+    final evicted=true row and dropping their state — and (2) RE-INITIALIZE
+    an evicted key from empty when it reappears (count restarts instead of
+    continuing), proving state size is bounded under key churn rather than
+    one-blob-per-key forever."""
+    import time
+
+    from sketches_rust_spark.streaming.sketch_stream import (
+        stateful_sketch_stream_with_eviction)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, ["key", "v"]).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run_phase(phase, expect):
+        """Run the stream against the shared checkpoint until the sink holds
+        the ``expect``ed {(key, evicted): count} rows for this phase, then
+        stop. Memory sinks cannot recover from a checkpoint (state must
+        survive across the three runs), so update rows append via
+        foreachBatch; a processing-time-timeout query under availableNow
+        keeps polling timer batches instead of self-terminating, so the
+        test polls the sink and stops the query explicitly."""
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 100).parquet(src))
+        out = stateful_sketch_stream_with_eviction(
+            stream, "v", "key", CFG, quantile=0.5, timeout_ms=3_000)
+
+        def write(batch_df, batch_id):
+            (batch_df.withColumn("phase", F.lit(phase))
+             .write.mode("append").parquet(sink))
+
+        q = (out.writeStream.foreachBatch(write)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            got = set()
+            for _ in range(300):  # <= 30 s
+                try:
+                    got = {(r["key"], r["evicted"], r["count"])
+                           for r in spark.read.parquet(sink)
+                           .where(F.col("phase") == phase).collect()}
+                except Exception:
+                    got = set()  # sink dir not written yet
+                if expect <= got:
+                    return got
+                time.sleep(0.1)
+            raise AssertionError(
+                f"phase {phase}: wanted {expect}, sink has {got}")
+        finally:
+            q.stop()
+
+    # phase 1: k1 gets 10 rows, k2 gets 5; stop before the 3 s timers fire
+    write_file("a", [("k1", float(i)) for i in range(10)]
+               + [("k2", float(i)) for i in range(5)])
+    run_phase("p1", {("k1", False, 10.0), ("k2", False, 5.0)})
+
+    # both keys idle past the timeout (wall-clock), then k2 receives new
+    # data: the restarted query fires the expired timers — k1's eviction
+    # marker carries its final count — and k2, whose blob was dropped,
+    # RE-INITIALIZES from empty (count 3, not 5 + 3)
+    time.sleep(5.0)
+    write_file("b", [("k2", float(i)) for i in range(3)])
+    run_phase("p2", {("k1", True, 10.0), ("k2", False, 3.0)})
+
+    # k1 reappears after its eviction: fresh state again (4 rows, not 14)
+    time.sleep(5.0)
+    write_file("c", [("k1", float(i)) for i in range(4)])
+    run_phase("p3", {("k1", False, 4.0)})
