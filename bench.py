@@ -33,8 +33,47 @@ def build_spark(cpus: str):
     )
 
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def regression_check(timings: dict[str, float]) -> dict:
+    """Regression gate against the canonical quiet-run timings
+    (BENCH/CANONICAL.json): a query regresses only if it is BOTH >1.3x its
+    canonical time AND >0.5 s absolutely slower (sub-second queries vary
+    +-50% under background load — three such false alarms in round 3).
+    Hard bound: the 26 round-1-shared queries must total <= 35 s."""
+    out: dict = {"regressions": [], "r1_shared_total_sec": None}
+    canon_path = os.path.join(REPO, "BENCH", "CANONICAL.json")
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            canon = json.load(f)["queries"]
+        for name, t in timings.items():
+            base = canon.get(name)
+            if base and t > 1.3 * base and t - base > 0.5:
+                out["regressions"].append(
+                    {"query": name, "sec": t, "canonical_sec": base})
+    r1_path = os.path.join(REPO, "BENCH_r01.json")
+    if os.path.exists(r1_path):
+        with open(r1_path) as f:
+            shared = set(json.load(f)["queries"]) & set(timings)
+        total = round(sum(timings[q] for q in shared), 2)
+        out["r1_shared_total_sec"] = total
+        out["r1_shared_count"] = len(shared)
+        out["r1_shared_bound_ok"] = total <= 35.0
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
+
+    # pre-flight: every registered query must carry an oracle (zero
+    # rows-only since round 4) and fit the driver's 50-row artifact cap
+    # (queries() itself asserts the cap)
+    qs_names = set(entry_mod.queries())
+    or_names = set(entry_mod.oracle_sql())
+    assert qs_names == or_names, (
+        f"query/oracle key mismatch: only-queries={sorted(qs_names - or_names)} "
+        f"only-oracles={sorted(or_names - qs_names)}")
 
     spark = build_spark(CPUS)
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -109,6 +148,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": int(CPUS),
+        **regression_check(timings),
         "sketch_build_rows_per_sec": round(total_rows_sketched / build_dt, 1),
         "sketch_build_rows_per_sec_sql": round(
             total_rows_sketched / sql_build_dt, 1),

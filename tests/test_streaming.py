@@ -150,75 +150,72 @@ def test_stateful_eviction_bounds_state_and_reinitializes(spark, tmp_path):
     final evicted=true row and dropping their state — and (2) RE-INITIALIZE
     an evicted key from empty when it reappears (count restarts instead of
     continuing), proving state size is bounded under key churn rather than
-    one-blob-per-key forever."""
+    one-blob-per-key forever.
+
+    ONE continuously-running query (processingTime trigger): processing-time
+    timers fire in the empty batches between file arrivals, and every step
+    waits for the OBSERVED sink row before proceeding, so the sequencing is
+    deterministic under load (an availableNow variant races restarts
+    against wall-clock timers)."""
     import time
 
     from sketches_rust_spark.streaming.sketch_stream import (
         stateful_sketch_stream_with_eviction)
 
     src = str(tmp_path / "src")
-    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
     os.makedirs(src)
 
-    def write_file(name, rows):
+    def write_file(rows):
         spark.createDataFrame(rows, ["key", "v"]).coalesce(1) \
             .write.mode("append").parquet(src)
 
-    sink = str(tmp_path / "sink")
-
-    def run_phase(phase, expect):
-        """Run the stream against the shared checkpoint until the sink holds
-        the ``expect``ed {(key, evicted): count} rows for this phase, then
-        stop. Memory sinks cannot recover from a checkpoint (state must
-        survive across the three runs), so update rows append via
-        foreachBatch; a processing-time-timeout query under availableNow
-        keeps polling timer batches instead of self-terminating, so the
-        test polls the sink and stops the query explicitly."""
-        schema = spark.read.parquet(src).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 100).parquet(src))
-        out = stateful_sketch_stream_with_eviction(
-            stream, "v", "key", CFG, quantile=0.5, timeout_ms=3_000)
-
-        def write(batch_df, batch_id):
-            (batch_df.withColumn("phase", F.lit(phase))
-             .write.mode("append").parquet(sink))
-
-        q = (out.writeStream.foreachBatch(write)
-             .outputMode("update")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        try:
-            got = set()
-            for _ in range(300):  # <= 30 s
-                try:
-                    got = {(r["key"], r["evicted"], r["count"])
-                           for r in spark.read.parquet(sink)
-                           .where(F.col("phase") == phase).collect()}
-                except Exception:
-                    got = set()  # sink dir not written yet
-                if expect <= got:
-                    return got
-                time.sleep(0.1)
-            raise AssertionError(
-                f"phase {phase}: wanted {expect}, sink has {got}")
-        finally:
-            q.stop()
-
-    # phase 1: k1 gets 10 rows, k2 gets 5; stop before the 3 s timers fire
-    write_file("a", [("k1", float(i)) for i in range(10)]
+    # schema source file (consumed as the first micro-batch)
+    write_file([("k1", float(i)) for i in range(10)]
                + [("k2", float(i)) for i in range(5)])
-    run_phase("p1", {("k1", False, 10.0), ("k2", False, 5.0)})
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 100).parquet(src))
+    out = stateful_sketch_stream_with_eviction(
+        stream, "v", "key", CFG, quantile=0.5, timeout_ms=2_000)
+    q = (out.writeStream
+         .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="200 milliseconds").start())
 
-    # both keys idle past the timeout (wall-clock), then k2 receives new
-    # data: the restarted query fires the expired timers — k1's eviction
-    # marker carries its final count — and k2, whose blob was dropped,
-    # RE-INITIALIZES from empty (count 3, not 5 + 3)
-    time.sleep(5.0)
-    write_file("b", [("k2", float(i)) for i in range(3)])
-    run_phase("p2", {("k1", True, 10.0), ("k2", False, 3.0)})
+    def await_rows(expect, timeout_s=90):
+        deadline = time.time() + timeout_s
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {(r["key"], r["evicted"], r["count"])
+                       for r in spark.read.parquet(sink).collect()}
+            except Exception:
+                got = set()  # sink not written yet
+            if expect <= got:
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"wanted {expect}, sink has {got}")
 
-    # k1 reappears after its eviction: fresh state again (4 rows, not 14)
-    time.sleep(5.0)
-    write_file("c", [("k1", float(i)) for i in range(4)])
-    run_phase("p3", {("k1", False, 4.0)})
+    try:
+        # batch 1: both keys build state
+        await_rows({("k1", False, 10.0), ("k2", False, 5.0)})
+        # idle 2 s: the running query's empty batches fire both timers —
+        # eviction markers carry each key's final count, state is dropped
+        await_rows({("k1", True, 10.0), ("k2", True, 5.0)})
+        # k2 reappears: must RE-INITIALIZE from empty (3 rows, not 5 + 3)
+        write_file([("k2", float(i)) for i in range(3)])
+        await_rows({("k2", False, 3.0)})
+        # ... and is evicted again after idling
+        await_rows({("k2", True, 3.0)})
+        # k1 reappears much later: fresh state as well (4 rows, not 10 + 4)
+        write_file([("k1", float(i)) for i in range(4)])
+        await_rows({("k1", False, 4.0)})
+        # no row ever shows a continued count — state really was dropped
+        all_rows = {(r["key"], r["evicted"], r["count"])
+                    for r in spark.read.parquet(sink).collect()}
+        assert ("k2", False, 8.0) not in all_rows
+        assert ("k1", False, 14.0) not in all_rows
+    finally:
+        q.stop()
