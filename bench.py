@@ -55,7 +55,11 @@ def regression_check(timings: dict[str, float]) -> dict:
     r1_path = os.path.join(REPO, "BENCH_r01.json")
     if os.path.exists(r1_path):
         with open(r1_path) as f:
-            shared = set(json.load(f)["queries"]) & set(timings)
+            r1 = json.load(f)
+        # the driver wraps the bench line under "parsed"
+        r1_queries = (r1.get("parsed") or r1).get("queries", {})
+        shared = {q for q in r1_queries
+                  if not q.startswith("throughput_")} & set(timings)
         total = round(sum(timings[q] for q in shared), 2)
         out["r1_shared_total_sec"] = total
         out["r1_shared_count"] = len(shared)
