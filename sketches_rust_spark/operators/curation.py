@@ -1,0 +1,167 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+rebalancing, context-window packing, and vocabulary statistics.
+
+All three are pure-declarative (no Python operators) and admit exact DuckDB
+oracles via the portable 60-bit md5 base hash (dedup._base_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash
+
+_HASH_SPACE = float(1 << 60)  # _base_hash is uniform on [0, 2^60)
+
+
+# -- deterministic per-group rebalancing -------------------------------------------------------
+
+def threshold_sample(df: DataFrame, fracs: dict[str, float],
+                     default_frac: float = 1.0,
+                     id_col: str = "doc_id",
+                     group_col: str = "lang") -> DataFrame:
+    """Deterministic per-group Bernoulli downsampling: keep a row iff
+    base_hash(id) < frac(group) * 2^60.
+
+    The training-data rebalancing shape (cap the dominant language, keep
+    the tail): a pure scan-side FILTER — no shuffle, no sort, no state —
+    so it runs at scan speed on 10^12 rows and composes with every other
+    operator. Deterministic in the id (re-runs, retries, and different
+    partitionings keep exactly the same rows), unlike df.sample() whose
+    result depends on the partition layout. Kept fraction is frac in
+    expectation; the exact kept SET is reproducible and oracle-checkable.
+    """
+    return df.where(_base_hash(F.col(id_col).cast("string"))
+                    < _threshold_expr(fracs, default_frac, group_col))
+
+
+def _threshold_expr(fracs: dict[str, float], default_frac: float,
+                    group_col: str) -> Column:
+    thresh = F.lit(default_frac * _HASH_SPACE)
+    for g, frac in fracs.items():
+        thresh = F.when(F.col(group_col) == g,
+                        F.lit(float(frac) * _HASH_SPACE)).otherwise(thresh)
+    return thresh
+
+
+def rebalance_stats(df: DataFrame, fracs: dict[str, float],
+                    default_frac: float = 1.0,
+                    id_col: str = "doc_id",
+                    group_col: str = "lang") -> DataFrame:
+    """(group, n_total, n_kept) under threshold_sample — the rebalancing
+    dashboard numbers, one scan."""
+    h = _base_hash(F.col(id_col).cast("string"))
+    thresh = _threshold_expr(fracs, default_frac, group_col)
+    return (df.groupBy(F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum((h < thresh).cast("long")).alias("n_kept")))
+
+
+def rebalance_stats_oracle_sql(table: str, fracs: dict[str, float],
+                               default_frac: float = 1.0,
+                               id_col: str = "doc_id",
+                               group_col: str = "lang") -> str:
+    arms = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {float(frac) * _HASH_SPACE!r}"
+        for g, frac in fracs.items())
+    thresh = f"(CASE {arms} ELSE {default_frac * _HASH_SPACE!r} END)"
+    h = (f"CAST(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+         f"AS UBIGINT) AS DOUBLE)")
+    return f"""
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {h} < {thresh} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM {table}
+GROUP BY {group_col}
+"""
+
+
+# -- context-window packing ---------------------------------------------------------------------
+
+def pack_context_windows(df: DataFrame, budget: int,
+                         token_expr: str = "size(split(text, ' '))",
+                         id_col: str = "doc_id",
+                         part_col: str = "lang") -> DataFrame:
+    """Budget-quantized sequence packing: assign docs (in id order within
+    each partition group) to context windows of ~``budget`` tokens.
+
+    chunk = floor(exclusive-prefix-sum(tokens) / budget) — the
+    parallel-friendly variant of greedy packing: one window cumsum per
+    group instead of a sequential first-fit scan, each chunk's total
+    bounded by budget + max_doc_tokens. Packing runs PER part_col group
+    (lang here; (lang, day) in a real pipeline), so the required ordering
+    is group-local — no global sort at scale, and a skewed group costs one
+    reducer's cumsum, not a cluster-wide barrier.
+
+    Output: (part_col, chunk, n_docs, sum_tokens)."""
+    toks = F.expr(token_expr).cast("long")
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum_excl = F.sum(toks).over(w) - toks
+    chunk = F.floor(cum_excl / F.lit(budget))
+    return (df.select(F.col(part_col), F.col(id_col), toks.alias("_t"),
+                      chunk.alias("chunk"))
+            .groupBy(part_col, "chunk")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_t").alias("sum_tokens")))
+
+
+def pack_context_windows_oracle_sql(table: str, budget: int,
+                                    token_expr: str =
+                                    "len(string_split(text, ' '))",
+                                    id_col: str = "doc_id",
+                                    part_col: str = "lang") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {part_col}, {id_col}, CAST({token_expr} AS BIGINT) AS t
+  FROM {table}
+),
+cum AS (
+  SELECT {part_col}, t,
+         sum(t) OVER (PARTITION BY {part_col} ORDER BY {id_col}) - t AS ce
+  FROM toks
+)
+SELECT {part_col}, CAST(floor(ce / {budget}) AS BIGINT) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS sum_tokens
+FROM cum
+GROUP BY 1, 2
+"""
+
+
+# -- corpus vocabulary statistics -----------------------------------------------------------------
+
+def vocab_stats(df: DataFrame, text_col: str = "text",
+                group_col: str = "lang") -> DataFrame:
+    """Per-group corpus vocabulary statistics: total token count, distinct
+    token count (vocabulary size), and the count of hapax legomena (tokens
+    occurring exactly once — the long-tail mass quality signal).
+
+    One explode + one (group, token) aggregate — the aggregation is
+    map-side partial on the (group, token) key, so a hot token combines
+    per-task before shuffling."""
+    tok = (df.select(F.col(group_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("t")))
+    per_tok = (tok.groupBy(group_col, "t")
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (per_tok.groupBy(group_col)
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum((F.col("c") == 1).cast("long")).alias("n_hapax")))
+
+
+def vocab_stats_oracle_sql(table: str, text_col: str = "text",
+                           group_col: str = "lang") -> str:
+    return f"""
+WITH tok AS (
+  SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS t FROM {table}
+),
+per_tok AS (
+  SELECT {group_col}, t, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT {group_col},
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM per_tok
+GROUP BY {group_col}
+"""

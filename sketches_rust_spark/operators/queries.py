@@ -1145,6 +1145,57 @@ SELECT 'kll' AS kind, l_returnflag AS grp, cnt, p50_ok, p90_ok, p99_ok FROM sub_
 """
 
 
+def topk_exact_surface_query(lang_q, partkey_q):
+    """Both exact pruned top-k proofs in one long-format result (50-row
+    driver cap; see multimodal_all_query): (kind, item-as-string, cnt,
+    rank). Each sub-proof unchanged."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = lang_q(spark, sf_dir).select(
+            F.lit("langs").alias("kind"), F.col("item").cast("string").alias("item"),
+            "cnt", "rank")
+        b = partkey_q(spark, sf_dir).select(
+            F.lit("partkeys").alias("kind"), F.col("item").cast("string").alias("item"),
+            "cnt", "rank")
+        return a.unionByName(b)
+    return run
+
+
+def topk_exact_surface_oracle_sql(lang_sql: str, partkey_sql: str) -> str:
+    return f"""
+WITH sub_l AS ({lang_sql}), sub_p AS ({partkey_sql})
+SELECT 'langs' AS kind, CAST(item AS VARCHAR) AS item, cnt, rank FROM sub_l
+UNION ALL
+SELECT 'partkeys' AS kind, CAST(item AS VARCHAR) AS item, cnt, rank FROM sub_p
+"""
+
+
+def ann_topk_surface_query(exact_q, lsh_q, ivf_q):
+    """All three ANN strategies (exact brute-force, hyperplane LSH, IVF)
+    over the same probes in one long-format result (50-row driver cap):
+    (method, probe_id, vec_id, score, rank). Each sub-proof unchanged."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = []
+        for method, q in (("exact", exact_q), ("lsh", lsh_q), ("ivf", ivf_q)):
+            parts.append(q(spark, sf_dir).select(
+                F.lit(method).alias("method"), "probe_id", "vec_id",
+                "score", "rank"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return run
+
+
+def ann_topk_surface_oracle_sql(exact_sql: str, lsh_sql: str,
+                                ivf_sql: str) -> str:
+    return f"""
+WITH sub_e AS ({exact_sql}), sub_l AS ({lsh_sql}), sub_i AS ({ivf_sql})
+SELECT 'exact' AS method, probe_id, vec_id, score, rank FROM sub_e
+UNION ALL SELECT 'lsh' AS method, probe_id, vec_id, score, rank FROM sub_l
+UNION ALL SELECT 'ivf' AS method, probe_id, vec_id, score, rank FROM sub_i
+"""
+
+
 def cms_topk_query(table: str, item_expr: str, k: int,
                    depth: int = 5, width: int = 8192):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,16 +1320,22 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_stats": exact_dup_stats_query(),
     "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
     "dedup_minhash_lsh_pairs": minhash_lsh_query(),
-    "ann_cosine_topk": ann_topk_query(_ANN_PROBES, k=10),
-    "topk_langs_exact": (lambda spark, sf_dir: __import__(
-        "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
-    ).topk_exact_pruned(load(spark, sf_dir, "documents").repartition(7), "lang", 5)),
-    "topk_partkeys_exact": (lambda spark, sf_dir: __import__(
-        "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
-    ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
-                        "l_partkey", 10, fudge=8)),
-    "ann_lsh_topk": ann_lsh_query(_ANN_PROBES, k=10),
-    "ann_ivf_topk": ann_ivf_query(_ANN_PROBES, k=10, n_centroids=16, n_probe=4),
+    # all three ANN strategies over the same probes, one long-format
+    # result (50-row driver cap; see multimodal_all_query)
+    "ann_topk_surface": ann_topk_surface_query(
+        ann_topk_query(_ANN_PROBES, k=10),
+        ann_lsh_query(_ANN_PROBES, k=10),
+        ann_ivf_query(_ANN_PROBES, k=10, n_centroids=16, n_probe=4)),
+    # both exact pruned top-k proofs, one long-format result (50-row cap)
+    "topk_exact_surface": topk_exact_surface_query(
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
+        ).topk_exact_pruned(load(spark, sf_dir, "documents").repartition(7),
+                            "lang", 5)),
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
+        ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
+                            "l_partkey", 10, fudge=8))),
     "dedup_ngram_jaccard_capped": ngram_jaccard_query(max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
@@ -1291,7 +1348,22 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all four multimodal stages in one long-format result (50-row cap)
     "multimodal_media_stages": multimodal_all_query(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprint_query(),
+    # corpus-curation operators (training-data pipeline shapes)
+    "curation_lang_rebalance": (lambda spark, sf_dir: __import__(
+        "sketches_rust_spark.operators.curation", fromlist=["rebalance_stats"]
+    ).rebalance_stats(load(spark, sf_dir, "documents"), _REBALANCE_FRACS)),
+    "curation_pack_context_windows": (lambda spark, sf_dir: __import__(
+        "sketches_rust_spark.operators.curation",
+        fromlist=["pack_context_windows"]
+    ).pack_context_windows(load(spark, sf_dir, "documents"), budget=2048)),
+    "curation_vocab_stats": (lambda spark, sf_dir: __import__(
+        "sketches_rust_spark.operators.curation", fromlist=["vocab_stats"]
+    ).vocab_stats(load(spark, sf_dir, "documents"))),
 }
+
+# cap the dominant language at a quarter, lightly trim the next one —
+# the deterministic-rebalancing driver fixture
+_REBALANCE_FRACS = {"en": 0.25, "zh": 0.8}
 
 from ..functions.sibling_oracle import (  # noqa: E402
     bloom_oracle_sql,
@@ -1315,6 +1387,11 @@ from .similarity import (  # noqa: E402
     incremental_near_dup_oracle_sql,
     ivf_topk_oracle_sql,
     lsh_topk_oracle_sql,
+)
+from .curation import (  # noqa: E402
+    pack_context_windows_oracle_sql,
+    rebalance_stats_oracle_sql,
+    vocab_stats_oracle_sql,
 )
 from .topk import topk_cms_oracle_sql as topk_cms_oracle  # noqa: E402
 from .topk import topk_exact_oracle_sql as topk_oracle  # noqa: E402
@@ -1427,13 +1504,14 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh_pairs": minhash_lsh_oracle_sql(
         "(SELECT * FROM documents WHERE doc_id < 1500)", "doc_id", "text",
         16, 3, 8, 2),
-    "ann_cosine_topk": brute_force_topk_oracle_sql("embeddings", _ANN_PROBES, 10),
-    "topk_langs_exact": topk_oracle("documents", "lang", 5),
-    "topk_partkeys_exact": topk_oracle("lineitem", "l_partkey", 10),
-    "ann_lsh_topk": lsh_topk_oracle_sql(
-        "embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
-    "ann_ivf_topk": ivf_topk_oracle_sql(
-        "embeddings", _ANN_PROBES, 10, n_centroids=16, n_probe=4),
+    "ann_topk_surface": ann_topk_surface_oracle_sql(
+        brute_force_topk_oracle_sql("embeddings", _ANN_PROBES, 10),
+        lsh_topk_oracle_sql("embeddings", _ANN_PROBES, 10, nbits=6, dim=64),
+        ivf_topk_oracle_sql("embeddings", _ANN_PROBES, 10,
+                            n_centroids=16, n_probe=4)),
+    "topk_exact_surface": topk_exact_surface_oracle_sql(
+        topk_oracle("documents", "lang", 5),
+        topk_oracle("lineitem", "l_partkey", 10)),
     "dedup_ngram_jaccard_capped": ngram_jaccard_oracle_sql(
         "documents", "doc_id", "text", 3, 0.3, max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(
@@ -1451,4 +1529,9 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
     "multimodal_media_stages": multimodal_all_oracle_sql(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
+    "curation_lang_rebalance": rebalance_stats_oracle_sql(
+        "documents", {"en": 0.25, "zh": 0.8}),
+    "curation_pack_context_windows": pack_context_windows_oracle_sql(
+        "documents", budget=2048),
+    "curation_vocab_stats": vocab_stats_oracle_sql("documents"),
 }
