@@ -80,3 +80,24 @@ def test_vocab_stats_sanity(spark, docs):
     assert rows["de"].n_tokens == sum(counter.values())
     assert rows["de"].n_vocab == len(counter)
     assert rows["de"].n_hapax == sum(1 for c in counter.values() if c == 1)
+
+
+def test_pack_context_windows_adversarial_doc_sizes(spark):
+    """Edge shapes: a doc far over the budget, single-token docs, and a
+    budget-exact doc. The bound (chunk <= budget + max_doc) and total
+    coverage must hold; chunk ids may legitimately skip after an oversize
+    doc (quantized packing never splits a doc)."""
+    budget = 100
+    sizes = [1, 99, 100, 350, 1, 1, 1, 200, 50]
+    rows = [(i, "w " * (n - 1) + "w", "xx") for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    packed = pack_context_windows(docs, budget=budget).collect()
+    assert sum(r.sum_tokens for r in packed) == sum(sizes)
+    for r in packed:
+        assert r.sum_tokens <= budget + max(sizes)
+    # the 350-token doc sits alone in its chunk span (never split)
+    chunk_of = {}
+    for r in packed:
+        chunk_of[r.chunk] = r
+    big_chunks = [r for r in packed if r.sum_tokens >= 350]
+    assert any(r.n_docs == 1 and r.sum_tokens == 350 for r in big_chunks)
