@@ -357,6 +357,21 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
     Hamming filter: (id_a, id_b, sh_a, sh_b). Exposed separately so the
     candidate waste of a blocking configuration (candidates per true pair —
     THE knob-tuning metric at scale) is directly measurable."""
+    keyed, packable = _simhash_combo_keyed(signatures, max_hamming, n_blocks)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    same_key = (F.col("a.v") == F.col("b.v")) if packable else (
+        (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v")))
+    return (a.join(b, same_key & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .distinct())
+
+
+def _simhash_combo_keyed(signatures: DataFrame, max_hamming: int,
+                         n_blocks: int | None) -> tuple[DataFrame, bool]:
+    """(_id, simhash, q, v): one row per Manku combo key per signature.
+    Shared by the self-join (simhash_candidates) and the incremental
+    shard-vs-persisted-corpus join (incremental_simhash_filter)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     if n_blocks is None:
@@ -408,13 +423,58 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
             for ci, combo in enumerate(combos)
         ])).alias("qv"),
     ).select("_id", "simhash", F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
-    a, b = keyed.alias("a"), keyed.alias("b")
+    return keyed, packable
+
+
+def incremental_simhash_filter(new_docs: DataFrame, sig_table: DataFrame,
+                               max_hamming: int = 3,
+                               n_blocks: int | None = 6,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Daily-ingest near-dup dedup for TEXT against a PERSISTED simhash
+    signature table: keep only new docs with no corpus signature within
+    ``max_hamming``. Returns the surviving (doc_id) rows.
+
+    The scale property: the corpus TEXT is never rescanned — ``sig_table``
+    is the persisted (_id, simhash) table (16 bytes/doc vs KBs of text;
+    ~3 orders of magnitude less I/O at web scale), and only the NEW shard
+    pays a text pass to compute its signatures. Both sides explode the same
+    Manku combo keys, so the join is bucket-local exactly like the batch
+    self-join; pigeonhole keeps it lossless."""
+    new_sigs = simhash_signatures(new_docs, id_col=id_col, text_col=text_col)
+    ka, packable = _simhash_combo_keyed(new_sigs, max_hamming, n_blocks)
+    kb, _ = _simhash_combo_keyed(sig_table, max_hamming, n_blocks)
+    a, b = ka.alias("a"), kb.alias("b")
     same_key = (F.col("a.v") == F.col("b.v")) if packable else (
         (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v")))
-    return (a.join(b, same_key & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-            .distinct())
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    dup_ids = (a.join(b, same_key & (F.col("a._id") != F.col("b._id")))
+               .where(hamming <= max_hamming)
+               .select(F.col("a._id").alias(id_col)).distinct())
+    return (new_docs.select(F.col(id_col).cast("long").alias(id_col))
+            .join(dup_ids, id_col, "left_anti"))
+
+
+def incremental_simhash_oracle_sql(table: str, new_pred: str,
+                                   max_hamming: int,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text") -> str:
+    """Exact replica over one base table split by ``new_pred``: a new doc
+    survives iff no OLD doc's simhash lies within max_hamming."""
+    corpus = f"(SELECT * FROM {table} WHERE NOT ({new_pred}))"
+    shard = f"(SELECT * FROM {table} WHERE {new_pred})"
+    return f"""
+WITH {_duck_simhash_sig(corpus, id_col, text_col, suffix='_c').lstrip()},
+{_duck_simhash_sig(shard, id_col, text_col, suffix='_n').lstrip()},
+dups AS (
+  SELECT DISTINCT n._id
+  FROM sig_n n JOIN sig_c c
+    ON n._id != c._id
+   AND bit_count(xor(n.simhash, c.simhash)) <= {max_hamming}
+)
+SELECT _id AS {id_col} FROM sig_n
+WHERE _id NOT IN (SELECT _id FROM dups)
+"""
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
@@ -602,29 +662,31 @@ WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold!r}
 """
 
 
-def _duck_simhash_sig(table: str, id_col: str, text_col: str) -> str:
+def _duck_simhash_sig(table: str, id_col: str, text_col: str,
+                      suffix: str = "") -> str:
     """DuckDB CTE text computing the exact simhash signature per document
     (distinct-token md5 base hashes, per-bit +-1 votes, positive-vote bits).
     The base hash is 60-bit, so bits 60..63 always vote negative and the
-    signed BIGINT signature never wraps."""
+    signed BIGINT signature never wraps. ``suffix`` renames the CTEs so two
+    instances coexist (incremental shard vs corpus)."""
     return f"""
-thh AS (
+thh{suffix} AS (
   SELECT DISTINCT {id_col} AS _id,
          CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS h
   FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t FROM {table})
 ),
-votes AS (
+votes{suffix} AS (
   SELECT _id, bb.bit AS bit,
          sum(CASE WHEN (h >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM thh, (SELECT unnest(range(0, 64)) AS bit) bb
+  FROM thh{suffix}, (SELECT unnest(range(0, 64)) AS bit) bb
   GROUP BY _id, bb.bit
 ),
-sig AS (
+sig{suffix} AS (
   SELECT _id,
          CAST(sum(CASE WHEN v > 0 AND bit < 63
                        THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END)
               AS BIGINT) AS simhash
-  FROM votes GROUP BY _id
+  FROM votes{suffix} GROUP BY _id
 )"""
 
 

@@ -904,6 +904,29 @@ def embedding_near_dup_query(threshold: float = 0.4, nbits: int = 6,
     return run
 
 
+def incremental_simhash_query(max_hamming: int = 3, n_blocks: int = 6,
+                              new_mod: int = 10, new_rem: int = 7):
+    """Incremental TEXT dedup against a persisted simhash signature table
+    (the companion to dedup_incremental_new_shard's embedding variant):
+    the corpus text is NEVER rescanned — only its 16-byte/doc (_id,
+    simhash) table is read (plan-asserted in tests) — and only the new
+    shard pays a text pass. Output: surviving new-shard doc_ids."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from .dedup import incremental_simhash_filter, simhash_signatures
+        docs = load(spark, sf_dir, "documents")
+        corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(new_mod)) != new_rem)
+        shard = docs.where(F.pmod(F.col("doc_id"), F.lit(new_mod)) == new_rem)
+        sig_dir = tempfile.mkdtemp(prefix="inc_simhash_sigs_") + "/sigs"
+        # one-time corpus signature persist (exists already at scale)
+        simhash_signatures(corpus).write.mode("overwrite").parquet(sig_dir)
+        return incremental_simhash_filter(
+            shard, spark.read.parquet(sig_dir),
+            max_hamming=max_hamming, n_blocks=n_blocks)
+    return run
+
+
 def contamination_query(min_common: int = 6, shingle_k: int = 3,
                         eval_mod: int = 20, eval_rem: int = 1):
     """Benchmark-contamination detection: flag corpus docs sharing
@@ -1343,6 +1366,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical_docs": keep_canonical_query(max_hamming=3),
     "dedup_incremental_new_shard": incremental_dedup_query(
         threshold=0.3, nbits=6, dim=64),
+    "dedup_incremental_simhash_text": incremental_simhash_query(
+        max_hamming=3, n_blocks=6),
     "contamination_evalset_overlap": contamination_query(min_common=6),
     "topk_langs_cms": cms_topk_query("documents", "lang", 3),
     # all four multimodal stages in one long-format result (50-row cap)
@@ -1376,6 +1401,7 @@ from ..functions.sibling_oracle import (  # noqa: E402
 from .dedup import (  # noqa: E402
     contamination_oracle_sql,
     exact_dup_stats_oracle_sql,
+    incremental_simhash_oracle_sql,
     keep_canonical_oracle_sql,
     minhash_lsh_oracle_sql,
     ngram_jaccard_oracle_sql,
@@ -1522,6 +1548,8 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "documents", "doc_id", "text", 3),
     "dedup_incremental_new_shard": incremental_near_dup_oracle_sql(
         "embeddings", "vec_id % 10 = 7", 0.3, dim=64, nbits=6, multi_probe=1),
+    "dedup_incremental_simhash_text": incremental_simhash_oracle_sql(
+        "documents", "doc_id % 10 = 7", max_hamming=3),
     "contamination_evalset_overlap": contamination_oracle_sql(
         "documents",
         "(SELECT doc_id AS item_id, text FROM documents WHERE doc_id % 20 = 1)",

@@ -78,3 +78,32 @@ def test_incremental_dedup_prunes_corpus_to_probed_buckets(spark, tmp_path):
     assert sorted(r.vec_id for r in out.collect()) == \
         sorted(r.vec_id for r in fresh.collect())
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_simhash_text_never_rescans_corpus_text(spark, tmp_path):
+    """The TEXT variant of incremental dedup: the corpus contributes only
+    its persisted (_id, simhash) table (16 bytes/doc); every scan of the
+    documents parquet in the plan must carry the SHARD filter — the corpus
+    text is never re-read. Survivors must equal a fresh-signature run."""
+    from sketches_rust_spark.operators.dedup import (
+        incremental_simhash_filter, simhash_signatures)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+    shard = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+    sig_dir = str(tmp_path / "sigs")
+    simhash_signatures(corpus).write.parquet(sig_dir)
+
+    out = incremental_simhash_filter(shard, spark.read.parquet(sig_dir),
+                                     max_hamming=3, n_blocks=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    doc_scan_lines = [ln for ln in plan.splitlines()
+                      if "documents.parquet" in ln]
+    assert doc_scan_lines  # the shard text pass exists
+    assert all("pmod(doc_id" in ln for ln in doc_scan_lines)
+    assert "sigs" in plan  # the persisted signature table is the corpus side
+
+    fresh = incremental_simhash_filter(shard, simhash_signatures(corpus),
+                                       max_hamming=3, n_blocks=6)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in fresh.collect())
