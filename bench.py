@@ -36,22 +36,43 @@ def build_spark(cpus: str):
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+# consolidated union queries that absorbed round-1 queries: their FULL time
+# counts toward the round-1 bound (conservative — the surfaces also carry
+# non-r1 members — so the bound can only get harder, never silently weaker)
+R1_FOLDED_SURFACES = {
+    "sketch_sql_union_surface",   # absorbed hll_union_events_sql
+    "ann_topk_surface",           # absorbed ann_cosine_topk, ann_lsh_topk
+    "topk_exact_surface",         # absorbed topk_langs_exact, topk_partkeys_exact
+}
+
+
+def is_regressed(t: float, base: float | None) -> bool:
+    """THE regression rule (shared by the gate and the noise-guard
+    remeasure): >1.3x the canonical quiet time AND >0.5 s absolutely slower
+    (sub-second queries vary +-50% under background load — three such
+    false alarms in round 3)."""
+    return bool(base) and t > 1.3 * base and t - base > 0.5
+
+
+def load_canonical() -> dict[str, float]:
+    canon_path = os.path.join(REPO, "BENCH", "CANONICAL.json")
+    if not os.path.exists(canon_path):
+        return {}
+    with open(canon_path) as f:
+        return json.load(f)["queries"]
+
+
 def regression_check(timings: dict[str, float]) -> dict:
     """Regression gate against the canonical quiet-run timings
-    (BENCH/CANONICAL.json): a query regresses only if it is BOTH >1.3x its
-    canonical time AND >0.5 s absolutely slower (sub-second queries vary
-    +-50% under background load — three such false alarms in round 3).
-    Hard bound: the 26 round-1-shared queries must total <= 35 s."""
+    (BENCH/CANONICAL.json) per is_regressed. Hard bound: the round-1-shared
+    queries PLUS every consolidated surface that absorbed a round-1 query
+    (full surface time, conservatively) must total <= 35 s."""
     out: dict = {"regressions": [], "r1_shared_total_sec": None}
-    canon_path = os.path.join(REPO, "BENCH", "CANONICAL.json")
-    if os.path.exists(canon_path):
-        with open(canon_path) as f:
-            canon = json.load(f)["queries"]
-        for name, t in timings.items():
-            base = canon.get(name)
-            if base and t > 1.3 * base and t - base > 0.5:
-                out["regressions"].append(
-                    {"query": name, "sec": t, "canonical_sec": base})
+    canon = load_canonical()
+    for name, t in timings.items():
+        if is_regressed(t, canon.get(name)):
+            out["regressions"].append(
+                {"query": name, "sec": t, "canonical_sec": canon[name]})
     r1_path = os.path.join(REPO, "BENCH_r01.json")
     if os.path.exists(r1_path):
         with open(r1_path) as f:
@@ -60,6 +81,7 @@ def regression_check(timings: dict[str, float]) -> dict:
         r1_queries = (r1.get("parsed") or r1).get("queries", {})
         shared = {q for q in r1_queries
                   if not q.startswith("throughput_")} & set(timings)
+        shared |= R1_FOLDED_SURFACES & set(timings)
         total = round(sum(timings[q] for q in shared), 2)
         out["r1_shared_total_sec"] = total
         out["r1_shared_count"] = len(shared)
@@ -122,18 +144,14 @@ def main() -> None:
     # canonical quiet timings and keep the faster run — transient load is
     # not an engine regression; genuine regressions reproduce. The
     # remeasured set is disclosed in the output.
-    canon_path = os.path.join(REPO, "BENCH", "CANONICAL.json")
+    canon = load_canonical()
     remeasured: dict[str, list[float]] = {}
-    if os.path.exists(canon_path):
-        with open(canon_path) as f:
-            canon = json.load(f)["queries"]
-        for name in sorted(qs):
-            base = canon.get(name)
-            t = timings[name]
-            if base and t > 1.3 * base and t - base > 0.5:
-                dt2 = timed(name)
-                remeasured[name] = [t, round(dt2, 4)]
-                timings[name] = round(min(t, dt2), 4)
+    for name in sorted(qs):
+        t = timings[name]
+        if is_regressed(t, canon.get(name)):
+            dt2 = timed(name)
+            remeasured[name] = [t, round(dt2, 4)]
+            timings[name] = round(min(t, dt2), 4)
 
     # headline throughput: global DDSketch build over the largest fact table
     from pyspark.sql import functions as F

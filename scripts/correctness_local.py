@@ -39,6 +39,10 @@ def main() -> None:
              .getOrCreate())
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
     results: dict[str, dict] = {}
     for name in qs:
         row: dict = {"rows_match": None, "schema_match": None,
@@ -52,10 +56,6 @@ def main() -> None:
                 row["err"] = "no_oracle"
                 results[name] = row
                 continue
-            con = duckdb.connect()
-            for t in TABLES:
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"'{sf_dir}/{t}.parquet'")
             want = con.execute(sql).df()
             row["oracle_rows"] = len(want)
             row["rows_match"] = len(got) == len(want)

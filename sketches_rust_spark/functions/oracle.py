@@ -45,14 +45,13 @@ _K4 = 3.0 * _A
 _LAYOUTS = {"log": LOG, "cubic": LOG_CUBIC}
 
 
-def log_mapping_params(alpha: float) -> tuple[float, float, float]:
-    m = IndexMapping.with_relative_accuracy(LOG, alpha)
-    return m.multiplier, m.relative_accuracy, m.min_indexable_value()
-
-
 def mapping_params(alpha: float, layout: str) -> tuple[float, float, float]:
     m = IndexMapping.with_relative_accuracy(_LAYOUTS[layout], alpha)
     return m.multiplier, m.relative_accuracy, m.min_indexable_value()
+
+
+def log_mapping_params(alpha: float) -> tuple[float, float, float]:
+    return mapping_params(alpha, "log")
 
 
 def _log_expr(mult: float, layout: str, value_sql: str = "v") -> str:

@@ -451,7 +451,11 @@ def incremental_simhash_filter(new_docs: DataFrame, sig_table: DataFrame,
     dup_ids = (a.join(b, same_key & (F.col("a._id") != F.col("b._id")))
                .where(hamming <= max_hamming)
                .select(F.col("a._id").alias(id_col)).distinct())
-    return (new_docs.select(F.col(id_col).cast("long").alias(id_col))
+    # survivors come from the SIGNATURE set (not new_docs): a doc with no
+    # tokens gets no signature and is out of scope on both engine and
+    # oracle sides — basing survivors on new_docs would let such a doc
+    # "survive" here while the oracle never sees it
+    return (new_sigs.select(F.col("_id").cast("long").alias(id_col))
             .join(dup_ids, id_col, "left_anti"))
 
 

@@ -14,6 +14,7 @@ instead.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -918,9 +919,14 @@ def incremental_simhash_query(max_hamming: int = 3, n_blocks: int = 6,
         docs = load(spark, sf_dir, "documents")
         corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(new_mod)) != new_rem)
         shard = docs.where(F.pmod(F.col("doc_id"), F.lit(new_mod)) == new_rem)
-        sig_dir = tempfile.mkdtemp(prefix="inc_simhash_sigs_") + "/sigs"
-        # one-time corpus signature persist (exists already at scale)
-        simhash_signatures(corpus).write.mode("overwrite").parquet(sig_dir)
+        # one-time corpus signature persist, cached per (session, sf_dir)
+        # exactly like incremental_dedup_query's corpus table
+        key = (id(spark), sf_dir, "simhash", new_mod, new_rem)
+        sig_dir = _PERSISTED_CORPORA.get(key)
+        if sig_dir is None or not os.path.isdir(sig_dir):
+            sig_dir = tempfile.mkdtemp(prefix="inc_simhash_sigs_") + "/sigs"
+            simhash_signatures(corpus).write.mode("overwrite").parquet(sig_dir)
+            _PERSISTED_CORPORA[key] = sig_dir
         return incremental_simhash_filter(
             shard, spark.read.parquet(sig_dir),
             max_hamming=max_hamming, n_blocks=n_blocks)
@@ -964,16 +970,27 @@ def incremental_dedup_query(threshold: float = 0.3, nbits: int = 6,
         emb = load(spark, sf_dir, "embeddings")
         corpus = emb.where(F.pmod(F.col("vec_id"), F.lit(new_mod)) != new_rem)
         shard = emb.where(F.pmod(F.col("vec_id"), F.lit(new_mod)) == new_rem)
-        base = tempfile.mkdtemp(prefix="inc_dedup_corpus_")
-        table = f"inc_dedup_corpus_{abs(hash(base)) % (1 << 30)}"
-        # one-time corpus persist (at scale this table already exists and
-        # amortizes over every daily shard; the tempdir stands in for it)
-        write_partitioned_signatures(corpus, f"{base}/corpus", table,
-                                     "embedding", dim=dim, nbits=nbits)
+        # one-time corpus persist, CACHED PER (session, sf_dir): at scale
+        # this table already exists and amortizes over every daily shard —
+        # re-running the query (bench remeasure, driver retries) must reuse
+        # it, not persist (and leak) another copy
+        key = (id(spark), sf_dir, "emb", new_mod, new_rem, dim, nbits)
+        table = _PERSISTED_CORPORA.get(key)
+        if table is None or not spark.catalog.tableExists(table):
+            base = tempfile.mkdtemp(prefix="inc_dedup_corpus_")
+            table = f"inc_dedup_corpus_{abs(hash(base)) % (1 << 30)}"
+            write_partitioned_signatures(corpus, f"{base}/corpus", table,
+                                         "embedding", dim=dim, nbits=nbits)
+            _PERSISTED_CORPORA[key] = table
         return incremental_near_dup_filter(
             shard, spark.table(table), threshold, dim=dim, nbits=nbits,
             multi_probe=multi_probe)
     return run
+
+
+# (session id, sf_dir, params) -> persisted corpus table/path, so repeated
+# executions of the incremental-dedup queries reuse one persist per session
+_PERSISTED_CORPORA: dict[tuple, str] = {}
 
 
 def simhash_pairs_query(max_hamming: int = 3, n_blocks: int | None = 6):
@@ -1557,8 +1574,9 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_langs_cms": topk_cms_oracle("documents", "lang", 3, depth=5, width=8192),
     "multimodal_media_stages": multimodal_all_oracle_sql(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
+    # same constant as the query side — the pair cannot silently diverge
     "curation_lang_rebalance": rebalance_stats_oracle_sql(
-        "documents", {"en": 0.25, "zh": 0.8}),
+        "documents", _REBALANCE_FRACS),
     "curation_pack_context_windows": pack_context_windows_oracle_sql(
         "documents", budget=2048),
     "curation_vocab_stats": vocab_stats_oracle_sql("documents"),

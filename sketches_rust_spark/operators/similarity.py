@@ -555,12 +555,15 @@ def incremental_near_dup_filter(new_shard: DataFrame, corpus: DataFrame,
                    for m in masks]))))
     # broadcast the exploded new shard; the corpus scan joins on its
     # partition column -> dynamic partition pruning limits the scan to
-    # the probed buckets (plan-asserted in tests)
-    cand = corpus.join(F.broadcast(probe), "_sig").where(
+    # the probed buckets (plan-asserted in tests). Corpus norm is computed
+    # once per corpus ROW before the join (not per candidate pair — the
+    # interpreted fold is the expensive part; see module header).
+    corpus_n = corpus.withColumn("_nc", _norm(vc))
+    cand = corpus_n.join(F.broadcast(probe), "_sig").where(
         F.col(id_col) != F.col("_nid"))
     dup_ids = (cand.select(
         "_nid",
-        (F.round(_dot(vc, vn) / (_norm(vc) * F.col("_nn")), 6)
+        (F.round(_dot(vc, vn) / (F.col("_nc") * F.col("_nn")), 6)
          >= threshold).alias("_isdup"))
         .where(F.col("_isdup"))
         .select(F.col("_nid").alias(id_col)).distinct())

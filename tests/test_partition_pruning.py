@@ -100,7 +100,11 @@ def test_incremental_simhash_text_never_rescans_corpus_text(spark, tmp_path):
     doc_scan_lines = [ln for ln in plan.splitlines()
                       if "documents.parquet" in ln]
     assert doc_scan_lines  # the shard text pass exists
-    assert all("pmod(doc_id" in ln for ln in doc_scan_lines)
+    # every documents scan must carry the SHARD equality filter — a corpus
+    # rescan would show the negated predicate (NOT (pmod(...) = 7)), which
+    # a bare 'pmod(doc_id' substring check would NOT catch
+    assert all("= 7)" in ln for ln in doc_scan_lines)
+    assert not any("NOT (pmod" in ln for ln in doc_scan_lines)
     assert "sigs" in plan  # the persisted signature table is the corpus side
 
     fresh = incremental_simhash_filter(shard, simhash_signatures(corpus),
