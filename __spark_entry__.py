@@ -37,7 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 MAX_DRIVER_QUERIES = 50
 
 
+def _ensure_pages_fixture() -> None:
+    """Materialize the input_hint pages parquet (idempotent, no Spark) so
+    it exists whether the driver runs the Spark query or the DuckDB oracle
+    first (the oracle reads it via read_parquet)."""
+    from sketches_rust_spark.operators.queries import PAGES_ROWS
+    from sketches_rust_spark.sources.pages import ensure_pages
+
+    ensure_pages(PAGES_ROWS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_pages_fixture()
     qs = dict(DDSKETCH_QUERIES)
     assert len(qs) <= MAX_DRIVER_QUERIES, (
         f"{len(qs)} queries registered but the driver records only "
@@ -47,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_pages_fixture()
     os_ = dict(DDSKETCH_ORACLES)
     unknown = set(os_) - set(DDSKETCH_QUERIES)
     assert not unknown, f"oracles without a query: {sorted(unknown)}"

@@ -43,6 +43,9 @@ R1_FOLDED_SURFACES = {
     "sketch_sql_union_surface",   # absorbed hll_union_events_sql
     "ann_topk_surface",           # absorbed ann_cosine_topk, ann_lsh_topk
     "topk_exact_surface",         # absorbed topk_langs_exact, topk_partkeys_exact
+    # absorbed ddsketch_stats_by_lang + ddsketch_stats_events_centered
+    # (both r1 queries -> the full surface time counts toward the bound)
+    "ddsketch_stats_surface",
 }
 
 

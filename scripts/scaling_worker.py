@@ -120,6 +120,25 @@ def main() -> None:
             agg = ddsketch_aggregate_sql(feats, "text_len", ["lang", "day"], cfg)
             out = agg.select("lang", "day", p99("sketch").alias("p99"), "rows_in").collect()
             return time.perf_counter() - t0, out
+    elif job in ("extract_pages", "extract_pages_pandas"):
+        # the full north-star pipeline from RAW HTML: extraction
+        # (operators/extraction.py) + 3-feature unpivot + grouped sketch.
+        # 'extract_pages' = jvm regexp chain (whole-stage codegen, the scale
+        # path); '_pandas' = Arrow pandas-UDF engine (the parser seam) to
+        # quantify the Arrow crossing toll at scale.
+        from sketches_rust_spark.functions.ddsketch_sql import ddsketch_aggregate_multi
+        from sketches_rust_spark.operators.extraction import page_features
+        engine = "jvm" if job == "extract_pages" else "pandas"
+        pages = pages_table(spark, PAGES_ROWS)
+        feats = page_features(pages, engine=engine, keep_cols=("lang",))
+
+        def run_once():
+            t0 = time.perf_counter()
+            agg = ddsketch_aggregate_multi(
+                feats, ["text_len", "token_count", "html_bytes"], ["lang"], cfg)
+            out = agg.select("feature", "lang", p99("sketch").alias("p99"),
+                             "rows_in").collect()
+            return time.perf_counter() - t0, out
     elif job == "e2e_pages":
         pages = pages_table(spark, PAGES_ROWS)
         feats = pages.select(

@@ -636,6 +636,91 @@ def multi_feature_oracle_sql(quantiles: dict[str, float],
     return " UNION ALL ".join(parts)
 
 
+# sf-independent row count for the input_hint pages table: the driver's
+# oracle SQL is a fixed string, so the table it reads must not depend on
+# sf_dir. Scale coverage for this pipeline lives in scripts/scaling_worker.py
+# (extract_pages job) and BENCH/BASELINE.md, not in the correctness fixture.
+PAGES_ROWS = 20_000
+
+_PAGE_FEATURES = ["text_len", "token_count", "html_bytes"]
+
+
+def pages_features_query(quantiles: dict[str, float], alpha: float = ALPHA,
+                         num_rows: int = PAGES_ROWS):
+    """The north-star pipeline on the EXACT input_hint table shape
+    (url, warc_ts, html binary, text, lang): extract text FROM THE RAW HTML
+    (operators/extraction.py), compute the three flagship features
+    (extracted text length, whitespace token count, html byte size), and
+    sketch them per lang in one scan (stack unpivot + JVM histogram path).
+
+    Both extraction engines run (long format, `engine` column): the DuckDB
+    oracle computes the same features from the fixture's STORED ``text``
+    column, so a value-hash match proves the input_hint per-row invariant —
+    byte-identical extracted text per url — end-to-end through the sketch,
+    for the whole-stage-codegen chain AND the Arrow pandas-UDF parser seam."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.ddsketch_sql import ddsketch_aggregate_multi
+        from ..sources.pages import pages_table
+        from .extraction import page_features
+        pages = pages_table(spark, num_rows)
+        cols = [F.round(make_quantile_udf(q)("sketch"), ROUND_DIGITS).alias(n)
+                for n, q in quantiles.items()]
+        parts = []
+        for eng in ("jvm", "pandas"):
+            feats = page_features(pages, engine=eng, keep_cols=("lang",))
+            agg = ddsketch_aggregate_multi(
+                feats, _PAGE_FEATURES, ["lang"], _cfg(alpha))
+            parts.append(agg.select(F.lit(eng).alias("engine"),
+                                    "feature", "lang", *cols))
+        return parts[0].unionByName(parts[1])
+    return run
+
+
+def pages_features_oracle_sql(quantiles: dict[str, float],
+                              alpha: float = ALPHA,
+                              num_rows: int = PAGES_ROWS) -> str:
+    from ..sources.pages import pages_parquet_path
+    src = f"read_parquet('{pages_parquet_path(num_rows)}')"
+    exprs = {"text_len": "length(text)",
+             "token_count": "len(string_split(text, ' '))",
+             "html_bytes": "octet_length(html)"}
+    parts = [
+        f"SELECT '{eng}' AS engine, '{feat}' AS feature, * FROM ("
+        + ddsketch_quantile_oracle_sql(src, expr, ["lang"], quantiles, alpha)
+        + ")"
+        for eng in ("jvm", "pandas") for feat, expr in exprs.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def sketch_stats_surface_query(docs_q, events_q):
+    """Both get_count/sum/avg/min/max stats proofs (documents text length;
+    events centered two-sided values) in one long-format result —
+    consolidation for the driver's 50-row correctness cap (see
+    multimodal_all_query); each sub-proof is unchanged."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = docs_q(spark, sf_dir).select(
+            F.lit("docs_textlen").alias("src"), F.col("lang").alias("key"),
+            "cnt", "sum_est", "avg_est", "min_est", "max_est")
+        b = events_q(spark, sf_dir).select(
+            F.lit("events_centered").alias("src"),
+            F.col("event_type").alias("key"),
+            "cnt", "sum_est", "avg_est", "min_est", "max_est")
+        return a.unionByName(b)
+    return run
+
+
+def sketch_stats_surface_oracle_sql(alpha: float = ALPHA) -> str:
+    a = ddsketch_stats_oracle_sql("documents", "length(text)", ["lang"], alpha)
+    b = ddsketch_stats_oracle_sql("events", "value - 100.0", ["event_type"], alpha)
+    return f"""
+WITH sub_a AS ({a}), sub_b AS ({b})
+SELECT 'docs_textlen' AS src, lang AS key, cnt, sum_est, avg_est, min_est, max_est FROM sub_a
+UNION ALL
+SELECT 'events_centered' AS src, event_type AS key, cnt, sum_est, avg_est, min_est, max_est FROM sub_b
+"""
+
+
 def collapsed_quantile_query(table: str, value_expr: str, groups: list[str],
                              quantiles: dict[str, float],
                              alpha: float = ALPHA, max_bins: int = 64):
@@ -1300,10 +1385,16 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents", "length(text)", ["lang"], _P503),
     "ddsketch_cubic_bound_check": cubic_bound_check_query(
         "documents", "length(text)", ["lang"], _P503),
-    "ddsketch_stats_by_lang": sketch_stats_query(
-        "documents", "length(text)", ["lang"]),
-    "ddsketch_stats_events_centered": sketch_stats_query(
-        "events", "value - 100.0", ["event_type"]),
+    # both stats proofs in one long-format result (50-row driver cap)
+    "ddsketch_stats_surface": sketch_stats_surface_query(
+        sketch_stats_query("documents", "length(text)", ["lang"]),
+        sketch_stats_query("events", "value - 100.0", ["event_type"])),
+    # the north-star pipeline on the input_hint pages shape: extract text
+    # from raw html (both engines), sketch the 3 flagship features per lang;
+    # the oracle reads the STORED text column -> hash match proves the
+    # byte-identical-extraction invariant end-to-end
+    "pages_extract_features_quantiles": pages_features_query(
+        {"p50": 0.5, "p99": 0.99}),
     "ddsketch_textlen_by_lang_pandas_path": sketch_quantile_query(
         "documents", "length(text)", ["lang"], _P503, path="pandas"),
     "streaming_quantiles_events": streaming_quantile_query(
@@ -1484,10 +1575,11 @@ DDSKETCH_ORACLES: dict[str, str] = {
     # deterministic booleans the oracle can pin:
     "ddsketch_cubic_bound_check": cubic_bound_check_oracle_sql(
         "documents", "length(text)", ["lang"], _P503),
-    "ddsketch_stats_by_lang": ddsketch_stats_oracle_sql(
-        "documents", "length(text)", ["lang"], ALPHA),
-    "ddsketch_stats_events_centered": ddsketch_stats_oracle_sql(
-        "events", "value - 100.0", ["event_type"], ALPHA),
+    "ddsketch_stats_surface": sketch_stats_surface_oracle_sql(ALPHA),
+    # stored-text features vs Spark's extracted-from-html features: the
+    # match IS the input_hint byte-identical-extraction proof
+    "pages_extract_features_quantiles": pages_features_oracle_sql(
+        {"p50": 0.5, "p99": 0.99}),
     "ddsketch_textlen_by_lang_pandas_path": ddsketch_quantile_oracle_sql(
         "documents", "length(text)", ["lang"], _P503, ALPHA),
     # streaming partials + retry-duplicate + merge-on-read must equal the

@@ -121,6 +121,22 @@ DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".cache")
 
 
+def pages_parquet_path(num_rows: int, cache_dir: str | None = None) -> str:
+    """Deterministic on-disk location of the materialized pages parquet —
+    shared by the Spark reader and the DuckDB oracle (read_parquet)."""
+    cache = cache_dir or DEFAULT_CACHE
+    return os.path.join(cache, f"pages_{num_rows}", "pages.parquet")
+
+
+def ensure_pages(num_rows: int, cache_dir: str | None = None) -> str:
+    """Materialize (idempotent) and return the parquet file path; no Spark
+    needed — callable from __spark_entry__ before the driver runs either
+    the Spark query or the DuckDB oracle."""
+    path = pages_parquet_path(num_rows, cache_dir)
+    generate_pages_parquet(os.path.dirname(path), num_rows)
+    return path
+
+
 def pages_table(spark, num_rows: int = 100_000, cache_dir: str | None = None,
                 catalog: str = "parquet"):
     """Table provider: the Iceberg-shaped ``pages`` table as a DataFrame.
@@ -131,7 +147,4 @@ def pages_table(spark, num_rows: int = 100_000, cache_dir: str | None = None,
     """
     if catalog == "iceberg":
         return spark.table("pages")
-    cache = cache_dir or DEFAULT_CACHE
-    path = os.path.join(cache, f"pages_{num_rows}")
-    generate_pages_parquet(path, num_rows)
-    return spark.read.parquet(os.path.join(path, "pages.parquet"))
+    return spark.read.parquet(ensure_pages(num_rows, cache_dir))
