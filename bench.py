@@ -89,6 +89,12 @@ def regression_check(timings: dict[str, float]) -> dict:
         out["r1_shared_total_sec"] = total
         out["r1_shared_count"] = len(shared)
         out["r1_shared_bound_ok"] = total <= 35.0
+        # the same sum over the canonical quiet-run minima: when bound_ok
+        # is False but this is well under 35, the miss is box noise (this
+        # machine carries intermittent external load, see BENCH/BASELINE.md)
+        # rather than a code regression
+        out["r1_shared_canonical_sec"] = round(
+            sum(canon.get(q, timings[q]) for q in shared), 2)
     return out
 
 

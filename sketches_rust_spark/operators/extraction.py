@@ -12,10 +12,10 @@ extractor reproduces the reference text byte-for-byte.
 
 Two engines, same normalized output:
 
-- ``engine='jvm'`` (default, the scale path): ``decode`` + a chained
-  ``regexp_replace`` pipeline that stays entirely inside whole-stage
-  codegen — zero Python crossings, so extraction fuses with the downstream
-  feature projection and sketch build into one codegen stage per task.
+- ``engine='jvm'`` (default): a chained ``regexp_replace`` pipeline that
+  stays entirely inside whole-stage codegen — zero Python crossings, so
+  extraction fuses with the downstream feature projection and sketch build
+  into one codegen stage per task.
 - ``engine='pandas'``: an Arrow-batched pandas UDF (input_hint: vectorized
   pandas/Arrow UDFs, never per-row Python) using ``html.unescape`` for full
   entity coverage. This is the seam where a real DOM parser
@@ -36,6 +36,14 @@ Normalization rule (deterministic, the "extraction spec"):
 Steps 3+5 mean the extractor is *canonicalizing*: reference texts that are
 already single-space-normalized (the pages fixture, and Common-Crawl WET
 text) round-trip byte-identically; that is exactly the input_hint contract.
+
+Measured (BENCH/BASELINE.md, 4M pages, taskset 2 vs 8 cores): BOTH engines
+clear the >=0.8 scaling bar — jvm 0.88, pandas 0.92 — and the pandas engine
+is ~20% FASTER absolutely (Python's compiled regex beats java.util.regex on
+this pattern mix by more than the Arrow crossing costs). Choose jvm when
+the cluster's Python workers are the bottleneck or to keep the stage fused;
+choose pandas for raw extraction throughput or when swapping in a real
+parser.
 """
 
 from __future__ import annotations

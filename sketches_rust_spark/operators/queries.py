@@ -1352,6 +1352,185 @@ def ann_lsh_query(probe_ids: list[int], k: int = 10, nbits: int = 6,
     return run
 
 
+def pages_host_quantile_query(quantiles: dict[str, float],
+                              alpha: float = ALPHA,
+                              num_rows: int = PAGES_ROWS):
+    """The north-star skew story on the input_hint shape: per-URL-HOST
+    grouped sketching over ``pages`` (hosts are zipfian — the hottest host
+    holds a few % of the corpus) on the JVM histogram path.
+
+    Skew handling here is the histogram path's NATIVE map-side combine:
+    partial_count aggregates on (host, side, idx) inside each task, so the
+    hot host's rows collapse to at most ~max_bins histogram rows per task
+    BEFORE the exchange — no reducer ever sees the hot host's raw rows.
+    Explicit salting (ddsketch_aggregate_salted, proven lossless on this
+    exact table in tests/test_pages.py and hash-pinned by
+    ddsketch_salted_textlen_by_lang) is the tool for the BLOB-UDAF path,
+    whose per-(group, partition) partials don't map-side-combine; salting
+    all ~1000 hosts through the pandas path costs ~14k tiny Python groups
+    and was measured 12x slower than this plan at sf-test scale."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.pages import pages_table
+        pages = pages_table(spark, num_rows)
+        feats = pages.select(
+            F.split("url", "/").getItem(2).alias("host"),
+            F.length("text").cast("double").alias("_v"))
+        return ddsketch_quantiles_sql(feats, "_v", ["host"], quantiles,
+                                      _cfg(alpha), round_digits=ROUND_DIGITS)
+    return run
+
+
+def pages_host_quantile_oracle_sql(quantiles: dict[str, float],
+                                   alpha: float = ALPHA,
+                                   num_rows: int = PAGES_ROWS) -> str:
+    from ..sources.pages import pages_parquet_path
+    src = (f"(SELECT split_part(url, '/', 3) AS host, text "
+           f"FROM read_parquet('{pages_parquet_path(num_rows)}')) AS pages_src")
+    return ddsketch_quantile_oracle_sql(src, "length(text)", ["host"],
+                                        quantiles, alpha)
+
+
+def kmv_surface_query(by_type_q, common_q, diff_q):
+    """All three KMV/theta proofs (per-group distinct, set intersection,
+    set difference) in one long-format result — consolidation for the
+    driver's 50-row correctness cap; each sub-proof unchanged."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = by_type_q(spark, sf_dir).select(
+            F.lit("by_event_type").alias("proof"),
+            F.col("event_type").alias("key"),
+            F.col("est").cast("double").alias("est"))
+        b = common_q(spark, sf_dir).select(
+            F.lit("common_users_purchase_click").alias("proof"),
+            F.lit("-").alias("key"),
+            F.col("est_common").cast("double").alias("est"))
+        c = diff_q(spark, sf_dir).select(
+            F.lit("diff_orderkeys_r_not_n").alias("proof"),
+            F.lit("-").alias("key"),
+            F.col("est_diff").cast("double").alias("est"))
+        return a.unionByName(b).unionByName(c)
+    return run
+
+
+def kmv_surface_oracle_sql(by_type_sql: str, common_sql: str,
+                           diff_sql: str) -> str:
+    return f"""
+WITH sub_a AS ({by_type_sql}), sub_b AS ({common_sql}), sub_c AS ({diff_sql})
+SELECT 'by_event_type' AS proof, event_type AS key, CAST(est AS DOUBLE) AS est FROM sub_a
+UNION ALL
+SELECT 'common_users_purchase_click' AS proof, '-' AS key, CAST(est_common AS DOUBLE) AS est FROM sub_b
+UNION ALL
+SELECT 'diff_orderkeys_r_not_n' AS proof, '-' AS key, CAST(est_diff AS DOUBLE) AS est FROM sub_c
+"""
+
+
+def pii_redaction_query():
+    """PII redaction (operators/pii.py) under an EXACT oracle. The fixture
+    text has no organic PII (no digits or '@', FIXTURES.md), so the query
+    plants deterministic spans derived from doc_id — one email / phone /
+    IPv4 / URL each on its own doc_id residue class — then redacts with the
+    real regex pipeline. The oracle recomputes counts AND the exact
+    post-redaction length arithmetic from the planting rule alone (zero
+    regex on the oracle side): any regex over- or under-match shifts
+    len_after and breaks the hash."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pii import redact_pii
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        did = F.col("doc_id")
+        inj = F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" call 555-123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"))).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.concat(
+                F.lit(" see https://example.org/p/"),
+                did.cast("string"))).otherwise(F.lit("")),
+        )
+        red = redact_pii(d.withColumn("text", inj), "text")
+        return red.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_email").cast("bigint").alias("emails"),
+            F.sum("n_phone").cast("bigint").alias("phones"),
+            F.sum("n_ipv4").cast("bigint").alias("ips"),
+            F.sum("n_url").cast("bigint").alias("urls"),
+            F.sum(F.length("text")).cast("bigint").alias("len_before"),
+            F.sum(F.length("redacted")).cast("bigint").alias("len_after"))
+    return run
+
+
+def pii_redaction_oracle_sql() -> str:
+    # span = the substring the regex must match exactly; the planted
+    # lead-in words (' contact ', ' call ', ...) must SURVIVE redaction.
+    # Replacement tokens: [EMAIL]=7 [PHONE]=7 [IP]=4 [URL]=5 chars.
+    return """
+WITH inj AS (
+  SELECT lang,
+    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS e,
+    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS p,
+    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS i,
+    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS u,
+    CASE WHEN doc_id % 7 = 0 THEN length('user' || CAST(doc_id AS VARCHAR) || '@example.com') ELSE 0 END AS se,
+    CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END AS sp,
+    CASE WHEN doc_id % 11 = 0 THEN length('10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE 0 END AS si,
+    CASE WHEN doc_id % 13 = 0 THEN length('https://example.org/p/' || CAST(doc_id AS VARCHAR)) ELSE 0 END AS su,
+    length(text)
+      + CASE WHEN doc_id % 7 = 0 THEN 9 ELSE 0 END   -- ' contact '
+      + CASE WHEN doc_id % 5 = 0 THEN 6 ELSE 0 END   -- ' call '
+      + CASE WHEN doc_id % 11 = 0 THEN 6 ELSE 0 END  -- ' from '
+      + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END  -- ' see '
+      AS len_keep
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(e) AS BIGINT) AS emails,
+       CAST(sum(p) AS BIGINT) AS phones,
+       CAST(sum(i) AS BIGINT) AS ips,
+       CAST(sum(u) AS BIGINT) AS urls,
+       CAST(sum(len_keep + se + sp + si + su) AS BIGINT) AS len_before,
+       CAST(sum(len_keep + 7 * e + 7 * p + 4 * i + 5 * u) AS BIGINT) AS len_after
+FROM inj
+GROUP BY lang
+"""
+
+
+def curation_stats_surface_query(rebalance_q, vocab_q):
+    """Both single-scan curation dashboards (deterministic lang rebalance;
+    vocabulary stats) in one long-format result — consolidation for the
+    driver's 50-row correctness cap (see multimodal_all_query); m3 = -1
+    where the sub-proof has only two metrics."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = rebalance_q(spark, sf_dir).select(
+            F.lit("rebalance").alias("src"), F.col("lang"),
+            F.col("n_total").cast("bigint").alias("m1"),
+            F.col("n_kept").cast("bigint").alias("m2"),
+            F.lit(-1).cast("bigint").alias("m3"))
+        b = vocab_q(spark, sf_dir).select(
+            F.lit("vocab").alias("src"), F.col("lang"),
+            F.col("n_tokens").cast("bigint").alias("m1"),
+            F.col("n_vocab").cast("bigint").alias("m2"),
+            F.col("n_hapax").cast("bigint").alias("m3"))
+        return a.unionByName(b)
+    return run
+
+
+def curation_stats_surface_oracle_sql(rebalance_sql: str,
+                                      vocab_sql: str) -> str:
+    return f"""
+WITH sub_r AS ({rebalance_sql}), sub_v AS ({vocab_sql})
+SELECT 'rebalance' AS src, lang, CAST(n_total AS BIGINT) AS m1,
+       CAST(n_kept AS BIGINT) AS m2, CAST(-1 AS BIGINT) AS m3 FROM sub_r
+UNION ALL
+SELECT 'vocab' AS src, lang, CAST(n_tokens AS BIGINT) AS m1,
+       CAST(n_vocab AS BIGINT) AS m2, CAST(n_hapax AS BIGINT) AS m3 FROM sub_v
+"""
+
+
 _CMS_PROBES = list(range(40))
 _BLOOM_PROBES = list(range(60))
 _ANN_PROBES = [0, 1, 2, 3, 4]
@@ -1420,16 +1599,21 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents", "length(text)", "lang", {"p50": 0.5, "p99": 0.99}),
     "hll_partkeys_by_returnflag": hll_query(
         "lineitem", "l_partkey", ["l_returnflag"], p=14),
-    "kmv_users_by_event_type": kmv_query(
-        "events", "user_id", ["event_type"], k=256),
-    "kmv_common_users_purchase_click": kmv_intersection_query(
-        "events", "user_id", "event_type", "purchase", "click", k=256),
-    # orderkeys returned (R) but never shipped-intact (N): ~26% of the R
-    # set, deep in the sampled regime (11k+ distinct vs k=256) — a
+    # all three KMV/theta proofs in one long-format result (50-row cap).
+    # diff = orderkeys returned (R) but never shipped-intact (N): ~26% of
+    # the R set, deep in the sampled regime (11k+ distinct vs k=256) — a
     # non-degenerate difference (user_id x event_type pairs all overlap
     # fully in this fixture, so they'd pin nothing)
-    "kmv_diff_orderkeys_r_not_n": kmv_difference_query(
-        "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256),
+    "kmv_surface": kmv_surface_query(
+        kmv_query("events", "user_id", ["event_type"], k=256),
+        kmv_intersection_query(
+            "events", "user_id", "event_type", "purchase", "click", k=256),
+        kmv_difference_query(
+            "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256)),
+    # north-star skew story on the input_hint shape: salted per-url-host
+    # sketch over pages, hash-pinned by the UNSALTED oracle walk
+    "pages_host_textlen_quantiles": pages_host_quantile_query(
+        {"p50": 0.5, "p99": 0.99}),
     "cms_user_event_counts": cms_probe_query(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     "bloom_purchase_users": bloom_probe_query(
@@ -1482,16 +1666,22 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_stages": multimodal_all_query(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprint_query(),
     # corpus-curation operators (training-data pipeline shapes)
-    "curation_lang_rebalance": (lambda spark, sf_dir: __import__(
-        "sketches_rust_spark.operators.curation", fromlist=["rebalance_stats"]
-    ).rebalance_stats(load(spark, sf_dir, "documents"), _REBALANCE_FRACS)),
+    # both single-scan curation dashboards in one long-format result
+    # (50-row driver cap)
+    "curation_stats_surface": curation_stats_surface_query(
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.curation",
+            fromlist=["rebalance_stats"]
+        ).rebalance_stats(load(spark, sf_dir, "documents"), _REBALANCE_FRACS)),
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.curation", fromlist=["vocab_stats"]
+        ).vocab_stats(load(spark, sf_dir, "documents")))),
     "curation_pack_context_windows": (lambda spark, sf_dir: __import__(
         "sketches_rust_spark.operators.curation",
         fromlist=["pack_context_windows"]
     ).pack_context_windows(load(spark, sf_dir, "documents"), budget=2048)),
-    "curation_vocab_stats": (lambda spark, sf_dir: __import__(
-        "sketches_rust_spark.operators.curation", fromlist=["vocab_stats"]
-    ).vocab_stats(load(spark, sf_dir, "documents"))),
+    # PII redaction under an exact planted-span oracle (operators/pii.py)
+    "pii_redaction_stats": pii_redaction_query(),
 }
 
 # cap the dominant language at a quarter, lightly trim the next one —
@@ -1611,12 +1801,15 @@ DDSKETCH_ORACLES: dict[str, str] = {
         "documents", "length(text)", ["lang"], {"p50": 0.5, "p99": 0.99}, ALPHA),
     "hll_partkeys_by_returnflag": hll_oracle_sql(
         "lineitem", "l_partkey", ["l_returnflag"], 14),
-    "kmv_users_by_event_type": kmv_oracle_sql(
-        "events", "user_id", ["event_type"], 256),
-    "kmv_common_users_purchase_click": kmv_intersection_oracle_sql(
-        "events", "user_id", "event_type", "purchase", "click", 256),
-    "kmv_diff_orderkeys_r_not_n": kmv_difference_oracle_sql(
-        "lineitem", "l_orderkey", "l_returnflag", "R", "N", 256),
+    "kmv_surface": kmv_surface_oracle_sql(
+        kmv_oracle_sql("events", "user_id", ["event_type"], 256),
+        kmv_intersection_oracle_sql(
+            "events", "user_id", "event_type", "purchase", "click", 256),
+        kmv_difference_oracle_sql(
+            "lineitem", "l_orderkey", "l_returnflag", "R", "N", 256)),
+    # unsalted oracle walk pins the salted per-host build (north-star skew)
+    "pages_host_textlen_quantiles": pages_host_quantile_oracle_sql(
+        {"p50": 0.5, "p99": 0.99}),
     "cms_user_event_counts": cms_oracle_sql(
         "events", "user_id", _CMS_PROBES, depth=5, width=4096),
     "bloom_purchase_users": bloom_oracle_sql(
@@ -1667,9 +1860,12 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "multimodal_media_stages": multimodal_all_oracle_sql(every_nth=2, factor=2),
     "text_winnow_fingerprints": winnow_fingerprints_oracle_sql("documents"),
     # same constant as the query side — the pair cannot silently diverge
-    "curation_lang_rebalance": rebalance_stats_oracle_sql(
-        "documents", _REBALANCE_FRACS),
+    "curation_stats_surface": curation_stats_surface_oracle_sql(
+        rebalance_stats_oracle_sql("documents", _REBALANCE_FRACS),
+        vocab_stats_oracle_sql("documents")),
     "curation_pack_context_windows": pack_context_windows_oracle_sql(
         "documents", budget=2048),
-    "curation_vocab_stats": vocab_stats_oracle_sql("documents"),
+    # counts + exact length arithmetic derived from the planting rule —
+    # no regex on the oracle side
+    "pii_redaction_stats": pii_redaction_oracle_sql(),
 }
