@@ -31,7 +31,8 @@ Normalization rule (deterministic, the "extraction spec"):
      text nodes never merge into one token);
   4. unescape entities (jvm: the common named five + &nbsp;; pandas: full
      html.unescape — identical on the common subset, covered by tests);
-  5. collapse runs of [\\s\\u00A0] to one space and trim.
+  5. collapse runs of the explicit whitespace class ``_WS_CLASS``
+     (ASCII ws + NEL + NBSP + Unicode Zs/Zl/Zp) to one space and trim.
 
 Steps 3+5 mean the extractor is *canonicalizing*: reference texts that are
 already single-space-normalized (the pages fixture, and Common-Crawl WET
@@ -55,10 +56,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Whitespace is matched by an EXPLICIT character class, never backslash-s:
+# Java's \s is ASCII-only while Python's is full-Unicode, so a shared "\s"
+# pattern string would make the two engines diverge on U+3000 (ideographic
+# space -- ubiquitous in zh/ja pages), U+2028, U+0085, ... . Python expands
+# the escapes below, so BOTH regex dialects receive the same literal
+# characters (ASCII ws + NEL + NBSP + U+1680 + Unicode Zs/Zl/Zp) and match
+# identically (locked by test_engines_agree_on_adversarial_html).
+_WS_CLASS = ("[\t\n\x0b\f\r \x1c\x1d\x1e\x1f\x85\xa0"
+             "\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
 # one space per tag so "a</p><p>b" keeps two tokens; collapsed later
-_SCRIPT_STYLE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+_SCRIPT_STYLE = r"(?is)<(script|style)\b[^>]*>.*?</\1" + _WS_CLASS + "*>"
 _TAG = r"(?s)<[^>]*>"
-_WS = r"[\s\u00a0]+"  # \u00a0 escape parsed by BOTH Java and Python regex
+_WS = _WS_CLASS + "+"
 
 # named entities the JVM chain handles; &amp; must be LAST so that
 # "&amp;lt;" correctly becomes the literal "&lt;" (double-escape safety)

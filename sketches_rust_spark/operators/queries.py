@@ -1610,8 +1610,9 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "events", "user_id", "event_type", "purchase", "click", k=256),
         kmv_difference_query(
             "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256)),
-    # north-star skew story on the input_hint shape: salted per-url-host
-    # sketch over pages, hash-pinned by the UNSALTED oracle walk
+    # north-star skew story on the input_hint shape: per-url-host sketch
+    # over pages on the JVM histogram path, whose map-side combine absorbs
+    # the hot host natively (see the builder docstring for why not salting)
     "pages_host_textlen_quantiles": pages_host_quantile_query(
         {"p50": 0.5, "p99": 0.99}),
     "cms_user_event_counts": cms_probe_query(
@@ -1807,7 +1808,7 @@ DDSKETCH_ORACLES: dict[str, str] = {
             "events", "user_id", "event_type", "purchase", "click", 256),
         kmv_difference_oracle_sql(
             "lineitem", "l_orderkey", "l_returnflag", "R", "N", 256)),
-    # unsalted oracle walk pins the salted per-host build (north-star skew)
+    # plain bucket walk over the same parquet pins the per-host build
     "pages_host_textlen_quantiles": pages_host_quantile_oracle_sql(
         {"p50": 0.5, "p99": 0.99}),
     "cms_user_event_counts": cms_oracle_sql(

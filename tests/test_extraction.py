@@ -47,6 +47,11 @@ _CASES = [
     (b"", ""),
     (b"   \n\t  ", ""),
     (b"<br><br/>just<hr>breaks", "just breaks"),
+    # Unicode whitespace must collapse IDENTICALLY in both engines (Java
+    # \\s is ASCII-only; the explicit _WS_CLASS closes the gap): ideographic
+    # space U+3000, line separator U+2028, NEL U+0085, en-space U+2002
+    ("a\u3000b\u2028c\u0085d\u2002e".encode("utf-8"), "a b c d e"),
+    ("\u3000<p>zh\u3000ja</p>\u3000".encode("utf-8"), "zh ja"),
     (None, None),
 ]
 
