@@ -1423,6 +1423,65 @@ SELECT 'diff_orderkeys_r_not_n' AS proof, '-' AS key, CAST(est_diff AS DOUBLE) A
 """
 
 
+def url_canonicalize_query(num_rows: int = PAGES_ROWS):
+    """URL canonicalization (operators/urls.py) under an exact
+    planted-variant oracle. The pages fixture urls are already canonical,
+    so the query derives a deterministic NOISY variant per doc-number
+    residue class — uppercase scheme+host plus fragment (m=1), explicit
+    :443 plus tracking-only query (m=2), shuffled kept-params plus gclid
+    (m=3), untouched (m=0) — and canonicalizes it. Classes 0-2 must
+    round-trip to EXACTLY the original url; class 3 to url + '?a=1&b=2'.
+    The oracle computes those expectations with plain string arithmetic
+    (no URL logic), so any over- or under-normalization breaks the hash."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.pages import pages_table
+        from .urls import canonicalize_url
+        pages = pages_table(spark, num_rows)
+        host = F.regexp_extract("url", r"^https://([^/]+)", 1)
+        path = F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1)
+        m = F.regexp_extract("url", r"doc(\d+)$", 1).cast("bigint") % 4
+        noisy = (
+            F.when(m == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path,
+                                    F.lit("#sec")))
+            .when(m == 2, F.concat(F.lit("https://"), host, F.lit(":443"),
+                                   path,
+                                   F.lit("?utm_source=news&utm_medium=em")))
+            .when(m == 3, F.concat(F.col("url"), F.lit("?b=2&a=1&gclid=x")))
+            .otherwise(F.col("url")))
+        canon = canonicalize_url(noisy)
+        d = pages.select(
+            "lang",
+            (noisy != canon).cast("long").alias("_changed"),
+            (canon.eqNullSafe(F.col("url"))).cast("long").alias("_identity"),
+            F.length(canon).alias("_len"))
+        return d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_changed").cast("bigint").alias("n_changed"),
+            F.sum("_identity").cast("bigint").alias("n_identity"),
+            F.sum("_len").cast("bigint").alias("sum_len_canonical"))
+    return run
+
+
+def url_canonicalize_oracle_sql(num_rows: int = PAGES_ROWS) -> str:
+    from ..sources.pages import pages_parquet_path
+    # class 3's canonical = url + '?a=1&b=2' (8 chars); everything else
+    # round-trips to the original url exactly
+    return f"""
+WITH u AS (
+  SELECT lang, url,
+         CAST(regexp_extract(url, 'doc([0-9]+)$', 1) AS BIGINT) % 4 AS m
+  FROM read_parquet('{pages_parquet_path(num_rows)}')
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN m IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN m = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_identity,
+       CAST(sum(length(url) + CASE WHEN m = 3 THEN 8 ELSE 0 END) AS BIGINT) AS sum_len_canonical
+FROM u
+GROUP BY lang
+"""
+
+
 def pii_redaction_query():
     """PII redaction (operators/pii.py) under an EXACT oracle. The fixture
     text has no organic PII (no digits or '@', FIXTURES.md), so the query
@@ -1683,6 +1742,8 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ).pack_context_windows(load(spark, sf_dir, "documents"), budget=2048)),
     # PII redaction under an exact planted-span oracle (operators/pii.py)
     "pii_redaction_stats": pii_redaction_query(),
+    # URL canonicalization under an exact planted-variant oracle
+    "url_canonicalize_stats": url_canonicalize_query(),
 }
 
 # cap the dominant language at a quarter, lightly trim the next one —
@@ -1869,4 +1930,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     # counts + exact length arithmetic derived from the planting rule —
     # no regex on the oracle side
     "pii_redaction_stats": pii_redaction_oracle_sql(),
+    # expected canonical forms per planting class, plain string arithmetic
+    "url_canonicalize_stats": url_canonicalize_oracle_sql(),
 }

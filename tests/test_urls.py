@@ -1,0 +1,58 @@
+"""URL canonicalization (operators/urls.py): rule-by-rule unit cases and
+the pure-projection plan property."""
+
+import pytest
+
+from sketches_rust_spark.operators.urls import canonicalize_url
+
+# (input, expected canonical)
+_CASES = [
+    ("https://Host.Example.COM/path", "https://host.example.com/path"),
+    ("HTTPS://A.B/x#frag", "https://a.b/x"),
+    ("https://a.b:443/x", "https://a.b/x"),
+    ("http://a.b:80/x", "http://a.b/x"),
+    # non-default port kept; cross-scheme default NOT stripped
+    ("https://a.b:8080/x", "https://a.b:8080/x"),
+    ("http://a.b:443/x", "http://a.b:443/x"),
+    # tracking params dropped, kept params sorted, '?' dropped when empty
+    ("https://a.b/x?utm_source=s&b=2&a=1&gclid=g", "https://a.b/x?a=1&b=2"),
+    ("https://a.b/x?utm_campaign=c", "https://a.b/x"),
+    ("https://a.b/x?REF=1&z=9", "https://a.b/x?z=9"),  # tracking match is case-insensitive
+    # empty path -> '/'
+    ("https://a.b", "https://a.b/"),
+    ("https://a.b?a=1", "https://a.b/?a=1"),
+    # fragment stripped before query parsing; valueless kept param survives
+    ("https://a.b/x?a#b?c=1", "https://a.b/x?a"),
+    ("https://a.b/x", "https://a.b/x"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon_rows(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES)], "i int, url string")
+    out = df.select("i", canonicalize_url("url").alias("c")).collect()
+    return {r["i"]: r["c"] for r in out}
+
+
+@pytest.mark.parametrize("i", range(len(_CASES)))
+def test_canonical_form(canon_rows, i):
+    assert canon_rows[i] == _CASES[i][1]
+
+
+def test_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for every case."""
+    df = spark.createDataFrame([(u,) for u, _ in _CASES], "url string")
+    out = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2")).collect()
+    for r in out:
+        assert r["c1"] == r["c2"]
+
+
+def test_pure_projection(spark):
+    df = spark.createDataFrame([("https://a.b/x",)], "url string")
+    plan = (df.select(canonicalize_url("url"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
