@@ -95,6 +95,42 @@ def test_page_features_from_raw_html_match_stored_text(pages):
     assert feats.count() == pages.count()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                    max_size=8)
+
+    @given(st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_normalizer_recovers_text_property(data):
+        """Property: ANY word sequence survives arbitrary block-tag
+        segmentation, attribute noise, script/style insertions, and
+        inter-tag whitespace runs (incl. U+3000/NBSP) — extraction returns
+        exactly the single-space-joined words (the canonicalizing spec)."""
+        words = data.draw(st.lists(_word, min_size=1, max_size=40))
+        parts, i = [], 0
+        while i < len(words):
+            j = data.draw(st.integers(min_value=i + 1,
+                                      max_value=len(words)))
+            tag = data.draw(st.sampled_from(["p", "div", "span", "li", "h1"]))
+            attr = data.draw(st.sampled_from(["", " class='x'", " id=\"y\""]))
+            ws = data.draw(st.sampled_from(
+                ["", " ", "\n", "\t\t", "\u3000", "\xa0"]))
+            noise = data.draw(st.sampled_from(
+                ["", "<script>var x = '<b>no</b>';</script>",
+                 "<style>.a{}</style>"]))
+            parts.append(f"<{tag}{attr}>{' '.join(words[i:j])}</{tag}>"
+                         f"{ws}{noise}")
+            i = j
+        html = f"<html><body>{''.join(parts)}</body></html>".encode()
+        out = _normalize_html_series(pd.Series([html])).iloc[0]
+        assert out == " ".join(words)
+except ImportError:  # pragma: no cover - hypothesis is in the sandbox image
+    pass
+
+
 def test_jvm_extraction_stays_in_codegen(pages):
     """Scale property: the jvm engine adds ZERO Python operators — the
     plan has no ArrowEvalPython / BatchEvalPython node."""
