@@ -46,6 +46,8 @@ R1_FOLDED_SURFACES = {
     # absorbed ddsketch_stats_by_lang + ddsketch_stats_events_centered
     # (both r1 queries -> the full surface time counts toward the bound)
     "ddsketch_stats_surface",
+    # absorbed dedup_ngram_jaccard_pairs (r1) + the capped variant
+    "dedup_jaccard_surface",
 }
 
 

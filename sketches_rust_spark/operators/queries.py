@@ -1423,6 +1423,95 @@ SELECT 'diff_orderkeys_r_not_n' AS proof, '-' AS key, CAST(est_diff AS DOUBLE) A
 """
 
 
+def boilerplate_removal_query(max_line_df: int = 50):
+    """Line-level boilerplate removal (operators/text.py) under an exact
+    oracle. The fixture texts have no newlines, so the query plants two
+    site-wide boilerplate lines on doc_id residue classes (each lands in
+    ~25-33% of docs, far above max_line_df) while every doc keeps its
+    unique body line; the oracle recomputes line doc-frequencies and the
+    kept-line reconstruction arithmetic from scratch in SQL (split/unnest/
+    count), so it stays exact even where base texts carry organic exact
+    duplicates (sf0.1) whose body-line frequency might cross the cap."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .text import remove_boilerplate_lines
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        did = F.col("doc_id")
+        t = F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.lit("\nall rights reserved worldwide")).otherwise(F.lit("")),
+            F.when(did % 4 == 1,
+                   F.lit("\nsubscribe to our newsletter")).otherwise(F.lit("")))
+        d2 = d.withColumn("text", t)
+        out = remove_boilerplate_lines(d2, max_line_df)
+        return out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.split("text", "\n"))).cast("bigint")
+             .alias("lines_before"),
+            F.sum("lines_kept").cast("bigint").alias("lines_kept"),
+            F.sum(F.length("cleaned")).cast("bigint").alias("len_cleaned"))
+    return run
+
+
+def boilerplate_removal_oracle_sql(max_line_df: int = 50) -> str:
+    # line doc-frequencies recomputed from scratch; kept-doc reconstruction
+    # length = sum(len(line)) + (n_kept - 1) newlines, 0 if nothing kept
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved worldwide' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, lang, unnest(string_split(t, chr(10))) AS line FROM base
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.line FROM lines l JOIN freq f USING (line)
+  WHERE f.df <= {max_line_df}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_kept,
+         sum(length(line)) + count(*) - 1 AS len_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(b.t) - length(replace(b.t, chr(10), '')) + 1) AS BIGINT) AS lines_before,
+       CAST(sum(coalesce(p.n_kept, 0)) AS BIGINT) AS lines_kept,
+       CAST(sum(coalesce(p.len_clean, 0)) AS BIGINT) AS len_cleaned
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+GROUP BY b.lang
+"""
+
+
+def dedup_jaccard_surface_query(uncapped_q, capped_q):
+    """Both exact n-gram Jaccard configs (uncapped verification config;
+    df-capped scale path) in one long-format result — consolidation for
+    the driver's 50-row cap; each sub-proof unchanged."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = uncapped_q(spark, sf_dir).select(
+            F.lit("uncapped").alias("variant"), "id_a", "id_b", "jaccard")
+        b = capped_q(spark, sf_dir).select(
+            F.lit("capped").alias("variant"), "id_a", "id_b", "jaccard")
+        return a.unionByName(b)
+    return run
+
+
+def dedup_jaccard_surface_oracle_sql(uncapped_sql: str,
+                                     capped_sql: str) -> str:
+    return f"""
+WITH sub_u AS ({uncapped_sql}), sub_c AS ({capped_sql})
+SELECT 'uncapped' AS variant, id_a, id_b, jaccard FROM sub_u
+UNION ALL
+SELECT 'capped' AS variant, id_a, id_b, jaccard FROM sub_c
+"""
+
+
 def url_canonicalize_query(num_rows: int = PAGES_ROWS):
     """URL canonicalization (operators/urls.py) under an exact
     planted-variant oracle. The pages fixture urls are already canonical,
@@ -1693,7 +1782,11 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             bound=0.03)),
     "text_features_documents": text_features_query(),
     "dedup_exact_stats": exact_dup_stats_query(),
-    "dedup_ngram_jaccard_pairs": ngram_jaccard_query(),
+    # both exact-Jaccard configs in one long-format result (50-row cap)
+    "dedup_jaccard_surface": dedup_jaccard_surface_query(
+        ngram_jaccard_query(), ngram_jaccard_query(max_shingle_df=5)),
+    # line-level boilerplate removal under a from-scratch SQL oracle
+    "text_boilerplate_removal": boilerplate_removal_query(),
     "dedup_minhash_lsh_pairs": minhash_lsh_query(),
     # all three ANN strategies over the same probes, one long-format
     # result (50-row driver cap; see multimodal_all_query)
@@ -1711,7 +1804,6 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
         ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
                             "l_partkey", 10, fudge=8))),
-    "dedup_ngram_jaccard_capped": ngram_jaccard_query(max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
         threshold=0.4, nbits=6, dim=64),
@@ -1889,8 +1981,12 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "sketch_sql_merge_rank_checks": merged_rank_checks_oracle_sql(),
     "text_features_documents": text_features_oracle_sql("documents", "doc_id"),
     "dedup_exact_stats": exact_dup_stats_oracle_sql("documents"),
-    "dedup_ngram_jaccard_pairs": ngram_jaccard_oracle_sql(
-        "documents", "doc_id", "text", 3, 0.3),
+    "dedup_jaccard_surface": dedup_jaccard_surface_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", 3, 0.3),
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", 3, 0.3,
+                                 max_shingle_df=5)),
+    # line doc-frequencies + reconstruction arithmetic recomputed in SQL
+    "text_boilerplate_removal": boilerplate_removal_oracle_sql(),
     "dedup_minhash_lsh_pairs": minhash_lsh_oracle_sql(
         "(SELECT * FROM documents WHERE doc_id < 1500)", "doc_id", "text",
         16, 3, 8, 2),
@@ -1902,8 +1998,6 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "topk_exact_surface": topk_exact_surface_oracle_sql(
         topk_oracle("documents", "lang", 5),
         topk_oracle("lineitem", "l_partkey", 10)),
-    "dedup_ngram_jaccard_capped": ngram_jaccard_oracle_sql(
-        "documents", "doc_id", "text", 3, 0.3, max_shingle_df=5),
     "dedup_simhash_near_pairs": simhash_pairs_oracle_sql(
         "documents", "doc_id", "text", 3),
     "dedup_embedding_cosine_pairs": embedding_near_dup_oracle_sql(

@@ -307,3 +307,47 @@ SELECT _id AS {id_col}, n_fp,
        {sign('xr')} AS fp_xor
 FROM summary
 """
+
+
+# -- line-level boilerplate removal (CCNet / RefinedWeb-style) --------------------------------
+
+def remove_boilerplate_lines(df: DataFrame, max_line_df: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             out_col: str = "cleaned") -> DataFrame:
+    """Drop lines whose corpus doc-frequency exceeds ``max_line_df``
+    (cookie banners, nav menus, copyright footers repeat across a site's
+    pages; body lines do not), preserving line order.
+
+    Scale shape: the line-frequency aggregate is two-level (map-side
+    partial on the line key), and the frequency table is filtered down to
+    the boilerplate set BEFORE touching the corpus again — that set is
+    tiny by definition (only lines repeated across > max_line_df docs), so
+    the removal is a BROADCAST anti-join: the corpus never shuffles on the
+    line key. The only corpus shuffle is the per-doc rebuild, keyed by
+    ``id_col``. Docs whose every line is boilerplate come back with
+    ``out_col = ''`` and ``lines_kept = 0``.
+
+    Output: input columns + ``(out_col, lines_kept)``.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_bid"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"))
+    boiler = (lines.groupBy("_line")
+              .agg(F.count_distinct(F.col("_bid")).alias("_df"))
+              .where(F.col("_df") > max_line_df)
+              .select("_line"))
+    kept = lines.join(F.broadcast(boiler), "_line", "left_anti")
+    rebuilt = kept.groupBy("_bid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"]),
+            "\n").alias(out_col),
+        F.count(F.lit(1)).alias("lines_kept"))
+    joined = df.join(rebuilt, F.col(id_col) == F.col("_bid"), "left")
+    return (joined
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("lines_kept",
+                        F.coalesce(F.col("lines_kept"), F.lit(0)))
+            .drop("_bid"))
