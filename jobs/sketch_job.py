@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--finalize", action="store_true",
                     help="merge completed shard partials into final blobs")
+    ap.add_argument("--from-html", default=None, choices=["jvm", "pandas"],
+                    help="derive the text column from the raw html binary "
+                         "before --value-expr (operators/extraction.py), so "
+                         "the resumable job runs the full raw-input pipeline")
     ap.add_argument("--quantiles", default="0.5,0.9,0.99")
     args = ap.parse_args()
 
@@ -50,8 +54,18 @@ def main() -> None:
     config = SketchConfig(args.preset, args.alpha, args.max_bins)
     keys = [k for k in args.keys.split(",") if k]
 
+    transform = None
+    if args.from_html:
+        from sketches_rust_spark.operators.extraction import extract_text_from_html
+        engine = args.from_html
+
+        def transform(df, _e=engine):
+            from pyspark.sql import functions as F
+            return df.withColumn("text", extract_text_from_html("html", engine=_e))
+
     job = SketchCheckpointJob(spark, args.input, args.value_expr, keys,
-                              config, args.checkpoint, num_shards=args.shards)
+                              config, args.checkpoint, num_shards=args.shards,
+                              transform=transform)
     metrics = job.run(resume=True)
     print(json.dumps({"shards_processed": len(metrics),
                       "shards_complete": len(job.completed_shards()),

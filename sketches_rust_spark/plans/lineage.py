@@ -52,7 +52,13 @@ class SketchCheckpointJob:
         config: SketchConfig,
         checkpoint_dir: str,
         num_shards: int = 16,
+        transform=None,
     ):
+        """transform: optional DataFrame -> DataFrame applied to each raw
+        shard BEFORE the value-expr projection — e.g. deriving ``text``
+        from the raw ``html`` binary (operators/extraction.py), so the
+        resumable job covers the full raw-input pipeline. Must be
+        deterministic: a resumed run re-derives identical partials."""
         self.spark = spark
         self.input_path = input_path
         self.value_expr = value_expr
@@ -60,6 +66,7 @@ class SketchCheckpointJob:
         self.config = config
         self.checkpoint_dir = checkpoint_dir
         self.num_shards = num_shards
+        self.transform = transform
         os.makedirs(os.path.join(checkpoint_dir, "shards"), exist_ok=True)
 
     # -- shard manifest -------------------------------------------------------
@@ -104,7 +111,10 @@ class SketchCheckpointJob:
 
     def _build_shard(self, shard_id: int, files: list[str]) -> dict:
         t0 = time.perf_counter()
-        df = self.spark.read.parquet(*files).select(
+        df = self.spark.read.parquet(*files)
+        if self.transform is not None:
+            df = self.transform(df)
+        df = df.select(
             *self.keys, F.expr(self.value_expr).cast("double").alias("_v")
         )
         partials = ddsketch_aggregate_sql(df, "_v", self.keys, self.config)

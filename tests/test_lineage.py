@@ -126,3 +126,35 @@ def test_sketch_job_cli_entrypoint_runs_and_resumes(
         [ln for ln in out2.splitlines() if ln.startswith("{")][0])
     assert metrics2["shards_processed"] == 0
     assert metrics2["shards_complete"] == 3
+
+
+def test_raw_html_transform_resume_byte_identical(spark, tmp_path):
+    """The resumable job from the RAW input shape: shards of pages
+    (url, warc_ts, html, lang — no pre-extracted feature), a transform
+    deriving text from the html binary, kill + resume, and the finalized
+    blobs must be byte-identical to a one-shot build over the STORED
+    reference text (extraction invariant through the checkpoint path)."""
+    from sketches_rust_spark.operators.extraction import extract_text_from_html
+    from sketches_rust_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, 5_000,
+                        cache_dir=str(tmp_path / "pages_cache"))
+    sharded = str(tmp_path / "pages_sharded")
+    pages.drop("text").repartition(6).write.parquet(sharded)  # raw shape only
+
+    def transform(df):
+        return df.withColumn("text", extract_text_from_html("html"))
+
+    ckpt = str(tmp_path / "ckpt_html")
+    job = SketchCheckpointJob(spark, sharded, "length(text)", ["lang"],
+                              CFG, ckpt, num_shards=4, transform=transform)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(fail_after_shards=2)
+    job.run(resume=True)
+    got = {r["lang"]: bytes(r["sketch"]) for r in job.finalize().collect()}
+
+    ref = pages.select("lang",
+                       F.length("text").cast("double").alias("_v"))
+    want = {r["lang"]: bytes(r["sketch"])
+            for r in ddsketch_aggregate_sql(ref, "_v", ["lang"], CFG).collect()}
+    assert got == want
