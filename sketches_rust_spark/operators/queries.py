@@ -1492,7 +1492,14 @@ GROUP BY b.lang
 def dedup_jaccard_surface_query(uncapped_q, capped_q):
     """Both exact n-gram Jaccard configs (uncapped verification config;
     df-capped scale path) in one long-format result — consolidation for
-    the driver's 50-row cap; each sub-proof unchanged."""
+    the driver's 50-row cap; each sub-proof unchanged.
+
+    The two configs deliberately recompute the shingle explode instead of
+    sharing a persisted shingle table: measured at sf0.1 (3 warm runs
+    each), persist-and-reuse runs 4.2-5.2 s vs 3.8-4.7 s for the double
+    compute — materializing the exploded table costs more than the second
+    explode (same conclusion as the round-3 cache-vs-rescan measurement
+    at operators/queries.py's rank-check note)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = uncapped_q(spark, sf_dir).select(
             F.lit("uncapped").alias("variant"), "id_a", "id_b", "jaccard")

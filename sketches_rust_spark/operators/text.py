@@ -321,12 +321,19 @@ def remove_boilerplate_lines(df: DataFrame, max_line_df: int,
 
     Scale shape: the line-frequency aggregate is two-level (map-side
     partial on the line key), and the frequency table is filtered down to
-    the boilerplate set BEFORE touching the corpus again — that set is
-    tiny by definition (only lines repeated across > max_line_df docs), so
-    the removal is a BROADCAST anti-join: the corpus never shuffles on the
-    line key. The only corpus shuffle is the per-doc rebuild, keyed by
-    ``id_col``. Docs whose every line is boilerplate come back with
-    ``out_col = ''`` and ``lines_kept = 0``.
+    the boilerplate set BEFORE touching the corpus again, so the anti-join
+    build side is the boilerplate set, not the corpus. The optimizer (AQE /
+    autoBroadcastJoinThreshold) decides whether to broadcast it — small on
+    a per-site corpus, it grows with the number of distinct SITES on a
+    whole-crawl corpus (every site contributes its own nav/footer lines),
+    so an unconditional broadcast hint would eventually OOM the driver;
+    past the threshold Spark falls back to a shuffled anti-join, which is
+    the correct plan at that size. The only corpus shuffle besides that
+    fallback is the per-doc rebuild, keyed by ``id_col``.
+
+    NULL ``text_col`` propagates (``out_col``/``lines_kept`` stay NULL) —
+    a missing document is distinguishable from one whose every line was
+    boilerplate (``out_col = ''``, ``lines_kept = 0``).
 
     Output: input columns + ``(out_col, lines_kept)``.
     """
@@ -337,7 +344,7 @@ def remove_boilerplate_lines(df: DataFrame, max_line_df: int,
               .agg(F.count_distinct(F.col("_bid")).alias("_df"))
               .where(F.col("_df") > max_line_df)
               .select("_line"))
-    kept = lines.join(F.broadcast(boiler), "_line", "left_anti")
+    kept = lines.join(boiler, "_line", "left_anti")
     rebuilt = kept.groupBy("_bid").agg(
         F.array_join(
             F.transform(
@@ -346,8 +353,12 @@ def remove_boilerplate_lines(df: DataFrame, max_line_df: int,
             "\n").alias(out_col),
         F.count(F.lit(1)).alias("lines_kept"))
     joined = df.join(rebuilt, F.col(id_col) == F.col("_bid"), "left")
+    null_text = F.col(text_col).isNull()
     return (joined
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
-            .withColumn("lines_kept",
-                        F.coalesce(F.col("lines_kept"), F.lit(0)))
+            .withColumn(out_col, F.when(null_text, F.lit(None)).otherwise(
+                F.coalesce(F.col(out_col), F.lit(""))))
+            .withColumn("lines_kept", F.when(null_text,
+                                             F.lit(None).cast("long"))
+                        .otherwise(F.coalesce(F.col("lines_kept"),
+                                              F.lit(0)).cast("long")))
             .drop("_bid"))

@@ -38,15 +38,30 @@ _TRACKING_RE = "^(?i)(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
 
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of a URL column per the module's rule; pure codegen
-    projection."""
+    projection.
+
+    Scope: absolute URLs (``scheme://...``). Inputs WITHOUT a scheme
+    (protocol-relative ``//host/x``, bare ``host/x``) pass through
+    UNCHANGED — mangling them into garbage keys would be worse than not
+    canonicalizing; normalize relative hrefs against their base before
+    calling this. Userinfo (``user:pass@host``) is stripped, and IPv6
+    bracket literals keep their brackets with the port parsed after
+    ``]``."""
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.regexp_replace(rest, r"#.*$", "")          # 3. fragment
-    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    authority = F.regexp_extract(rest, r"^([^/?]+)", 1)
     pathq = F.regexp_replace(rest, r"^[^/?]+", "")
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    # strip userinfo (no '/' can appear in authority by construction)
+    hostport = F.regexp_replace(authority, r"^[^@]*@", "")
+    is_v6 = hostport.startswith("[")
+    host = F.lower(F.when(
+        is_v6, F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.regexp_extract(hostport, r"^([^:]+)", 1)))
+    port = F.when(
+        is_v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r"^[^:]*:(\d+)$", 1))
     port_part = F.when(
         (port == F.lit(""))
         | ((scheme == F.lit("http")) & (port == F.lit("80")))
@@ -61,4 +76,6 @@ def canonicalize_url(col: Column | str) -> Column:
                   F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&"))
                   ).otherwise(F.lit(""))
     path_norm = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
-    return F.concat(scheme, F.lit("://"), host, port_part, path_norm, qstr)
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path_norm, qstr)
+    # schemeless input -> passthrough (see docstring)
+    return F.when(scheme == F.lit(""), c).otherwise(canon)

@@ -49,9 +49,27 @@ def test_intra_doc_duplicates_kept(spark):
 
 
 def test_broadcast_anti_join_plan(spark):
-    """Scale property: the corpus is never shuffled on the line key — the
-    boilerplate set is broadcast and removed with a LeftAnti join."""
+    """Scale property: the boilerplate set is removed with a LeftAnti join
+    whose build side is the (small) boilerplate set; at this size AQE
+    converts it to a broadcast at RUNTIME (the hint is deliberately not
+    forced — an unconditional broadcast would OOM on a whole-crawl corpus
+    where the set grows with the number of sites; past the threshold the
+    shuffled anti-join is the correct plan)."""
     df = spark.createDataFrame(_DOCS, "doc_id int, text string")
-    plan = (remove_boilerplate_lines(df, 2)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    out = remove_boilerplate_lines(df, 2)
+    out.collect()  # materialize so AQE finalizes the join strategy
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # AQE's runtime choice at this size
+
+
+def test_null_text_propagates(spark):
+    """NULL text stays NULL (distinguishable from an all-boilerplate doc,
+    which comes back as '')."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "x\nBOILER"), (3, "BOILER"), (4, "BOILER")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r
+            for r in remove_boilerplate_lines(df, 2).collect()}
+    assert rows[1]["cleaned"] is None and rows[1]["lines_kept"] is None
+    assert rows[3]["cleaned"] == "" and rows[3]["lines_kept"] == 0

@@ -98,7 +98,11 @@ def test_page_features_from_raw_html_match_stored_text(pages):
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
 
+if _HAVE_HYPOTHESIS:
     _word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
                     max_size=8)
 
@@ -127,8 +131,10 @@ try:
         html = f"<html><body>{''.join(parts)}</body></html>".encode()
         out = _normalize_html_series(pd.Series([html])).iloc[0]
         assert out == " ".join(words)
-except ImportError:  # pragma: no cover - hypothesis is in the sandbox image
-    pass
+else:  # pragma: no cover - surface the gap as a VISIBLE skip, never silence
+    @pytest.mark.skip(reason="hypothesis not installed")
+    def test_normalizer_recovers_text_property():
+        pass
 
 
 def test_jvm_extraction_stays_in_codegen(pages):
