@@ -165,3 +165,48 @@ SELECT {group_col},
 FROM per_tok
 GROUP BY {group_col}
 """
+
+
+# -- overlapping-window chunking ----------------------------------------------------------------
+
+def split_overlapping_chunks(df: DataFrame, chunk_tokens: int = 256,
+                             overlap_tokens: int = 32,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Long documents -> overlapping token windows for training: chunk i
+    starts at ``i * (chunk_tokens - overlap_tokens)`` and spans up to
+    ``chunk_tokens`` whitespace tokens, so consecutive chunks share exactly
+    ``overlap_tokens`` tokens (the context carry-over). A trailing start
+    whose NEW content would be empty (start + overlap_tokens >= n_tokens,
+    i.e. the chunk is fully contained in its predecessor) is dropped —
+    except start 0, so every non-empty doc yields at least one chunk.
+
+    Reconstruction invariant (property-tested): chunk 0 plus each later
+    chunk minus its first ``overlap_tokens`` tokens concatenates back to
+    the exact original text.
+
+    Pure per-row explode — no shuffle; chunk_id is deterministic, so the
+    operation is safely re-runnable (idempotent output keys) in a
+    checkpointed pipeline. Output: (id_col, chunk_id, chunk_text,
+    n_chunk_tokens).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got "
+            f"{overlap_tokens} / {chunk_tokens}")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap_tokens < n))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+             .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_chunk_tokens")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+            .select(id_col, "_c.chunk_id", "_c.chunk_text",
+                    "_c.n_chunk_tokens"))
