@@ -1,8 +1,13 @@
 """Corpus-curation operators for training-data pipelines: deterministic
-rebalancing, context-window packing, and vocabulary statistics.
+rebalancing, context-window packing, vocabulary statistics, and
+overlapping-window chunking.
 
-All three are pure-declarative (no Python operators) and admit exact DuckDB
-oracles via the portable 60-bit md5 base hash (dedup._base_hash).
+All are pure-declarative (no Python operators). The first three are
+driver-oracled (rebalance/vocab via `curation_stats_surface`, packing via
+`curation_pack_context_windows`; the sampling hash is the portable 60-bit
+md5 base hash, dedup._base_hash). split_overlapping_chunks is pinned by
+its reconstruction-invariant property test (tests/test_chunking.py), not
+a DuckDB oracle — the driver registry is at its 50-row cap.
 """
 
 from __future__ import annotations
@@ -180,6 +185,8 @@ def split_overlapping_chunks(df: DataFrame, chunk_tokens: int = 256,
     whose NEW content would be empty (start + overlap_tokens >= n_tokens,
     i.e. the chunk is fully contained in its predecessor) is dropped —
     except start 0, so every non-empty doc yields at least one chunk.
+    NULL-text docs yield NO chunks (they vanish from the exploded output;
+    count them upstream if missing-doc accounting matters).
 
     Reconstruction invariant (property-tested): chunk 0 plus each later
     chunk minus its first ``overlap_tokens`` tokens concatenates back to
@@ -195,11 +202,14 @@ def split_overlapping_chunks(df: DataFrame, chunk_tokens: int = 256,
             f"need 0 <= overlap_tokens < chunk_tokens, got "
             f"{overlap_tokens} / {chunk_tokens}")
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(F.col(text_col), " ")
+    toks = F.when(F.col(text_col).isNull(),
+                  F.array().cast("array<string>")
+                  ).otherwise(F.split(F.col(text_col), " "))
     n = F.size(toks)
-    starts = F.filter(
+    starts = F.when(n > 0, F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
         lambda s: (s == 0) | (s + overlap_tokens < n))
+    ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(

@@ -216,8 +216,9 @@ SELECT f.{id_col}, text_len, n_tokens, n_subtokens, punct_ratio, mean_token_len,
              / greatest(len(string_split(f.text, chr(10))), 1), 6) AS dup_line_frac,
        round((n_tokens - len(list_distinct(string_split(f.text, ' '))))::DOUBLE
              / greatest(n_tokens, 1), 6) AS dup_token_frac,
-       round(coalesce(tg.topchars, 0)::DOUBLE
-             / greatest(text_len, 1), 6) AS top_ngram_char_frac
+       CASE WHEN f.text IS NULL THEN NULL
+            ELSE round(coalesce(tg.topchars, 0)::DOUBLE
+                       / greatest(text_len, 1), 6) END AS top_ngram_char_frac
 FROM feat f LEFT JOIN topg tg USING ({id_col})
 """
 
@@ -392,9 +393,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     - ``dup_line_frac``: fraction of lines that are duplicates of an
       earlier line in the SAME document (0 when every line is unique);
     - ``dup_token_frac``: 1 - distinct_tokens/tokens;
-    - ``top_ngram_char_frac``: characters covered by the token
-      ``ngram_n``-gram maximizing frequency x length, divided by total
-      characters — the "one phrase repeated forever" detector.
+    - ``top_ngram_char_frac``: frequency x length of the dominant token
+      ``ngram_n``-gram divided by total characters — the "one phrase
+      repeated forever" detector. NOTE: overlapping self-repeats ("a a a")
+      count each occurrence's full length, so the ratio CAN exceed 1.0 —
+      itself a maximal-repetition signal; do not clamp or assume [0,1].
+
+    NULL ``text_col`` propagates (all three metrics NULL), matching the
+    module's NULL discipline (see remove_boilerplate_lines).
 
     All built-in expressions over split arrays — a pure projection: no
     shuffle, no Python, fuses with whatever filter consumes the scores.
@@ -429,22 +435,30 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                    ).otherwise(F.array().cast("array<string>"))
 
     def _run_step(acc, g):
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long"))
         return F.struct(g.alias("prev"), run.alias("run"),
                         F.greatest(acc["best"],
                                    run * F.length(g)).alias("best"))
 
+    # long accumulators: run * length(gram) in int32 wraps negative on a
+    # ~2^31-char single-phrase doc and would silently underestimate
     top_gram_chars = F.aggregate(
         F.array_sort(grams),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
         _run_step)["best"]
     text_chars = F.length(F.col(text_col))
     top_frac = F.when(text_chars > 0,
                       top_gram_chars.cast("double") / text_chars
                       ).otherwise(F.lit(0.0))
+    null_text = F.col(text_col).isNull()
+
+    def _nullable(c):
+        return F.when(null_text, F.lit(None).cast("double")).otherwise(c)
+
     return df.select(
         "*",
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(dup_token_frac, 6).alias("dup_token_frac"),
-        F.round(top_frac, 6).alias("top_ngram_char_frac"))
+        F.round(_nullable(dup_line_frac), 6).alias("dup_line_frac"),
+        F.round(_nullable(dup_token_frac), 6).alias("dup_token_frac"),
+        F.round(_nullable(top_frac), 6).alias("top_ngram_char_frac"))

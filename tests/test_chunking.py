@@ -77,3 +77,13 @@ def test_no_shuffle(spark):
     plan = (split_overlapping_chunks(df, 4, 1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_null_text_yields_no_chunks(spark):
+    """NULL-text docs vanish from the exploded output (documented) —
+    previously they produced a phantom chunk with n_chunk_tokens ==
+    chunk_tokens."""
+    df = spark.createDataFrame([(1, None), (2, "a b c")],
+                               "doc_id int, text string")
+    rows = split_overlapping_chunks(df, 4, 1).collect()
+    assert {r["doc_id"] for r in rows} == {2}

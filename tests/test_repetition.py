@@ -54,3 +54,24 @@ def test_pure_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_null_text_propagates(spark):
+    """NULL text -> all three metrics NULL (module NULL discipline; the
+    DuckDB oracle side returns NULL for missing docs too)."""
+    df = spark.createDataFrame([(1, None), (2, "a b")],
+                               "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_line_frac"] is None
+    assert rows[1]["dup_token_frac"] is None
+    assert rows[1]["top_ngram_char_frac"] is None
+    assert rows[2]["dup_token_frac"] == 0.0
+
+
+def test_overlapping_self_repeat_can_exceed_one(spark):
+    """'a a a a a a' (11 chars): bigram 'a a' occurs 5x overlapping ->
+    freq x len = 15 -> ratio 15/11 > 1, by documented design (maximal
+    repetition signal; consumers must not clamp)."""
+    df = spark.createDataFrame([(1, "a a a a a a")], "doc_id int, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["top_ngram_char_frac"] == round(15 / 11, 6)
