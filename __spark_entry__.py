@@ -50,10 +50,13 @@ def _ensure_pages_fixture() -> None:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_pages_fixture()
     qs = dict(DDSKETCH_QUERIES)
-    assert len(qs) <= MAX_DRIVER_QUERIES, (
-        f"{len(qs)} queries registered but the driver records only "
-        f"{MAX_DRIVER_QUERIES}; consolidate (queries beyond the cap would "
-        "be silently unverified)")
+    # RuntimeError, not assert: this guard must survive python -O (a
+    # stripped assert would let queries past the cap go silently unverified)
+    if len(qs) > MAX_DRIVER_QUERIES:
+        raise RuntimeError(
+            f"{len(qs)} queries registered but the driver records only "
+            f"{MAX_DRIVER_QUERIES}; consolidate (queries beyond the cap "
+            "would be silently unverified)")
     return qs
 
 
@@ -61,5 +64,6 @@ def oracle_sql() -> dict[str, str]:
     _ensure_pages_fixture()
     os_ = dict(DDSKETCH_ORACLES)
     unknown = set(os_) - set(DDSKETCH_QUERIES)
-    assert not unknown, f"oracles without a query: {sorted(unknown)}"
+    if unknown:
+        raise RuntimeError(f"oracles without a query: {sorted(unknown)}")
     return os_

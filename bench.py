@@ -108,9 +108,10 @@ def main() -> None:
     # (queries() itself asserts the cap)
     qs_names = set(entry_mod.queries())
     or_names = set(entry_mod.oracle_sql())
-    assert qs_names == or_names, (
-        f"query/oracle key mismatch: only-queries={sorted(qs_names - or_names)} "
-        f"only-oracles={sorted(or_names - qs_names)}")
+    if qs_names != or_names:
+        raise RuntimeError(
+            f"query/oracle key mismatch: only-queries={sorted(qs_names - or_names)} "
+            f"only-oracles={sorted(or_names - qs_names)}")
 
     spark = build_spark(CPUS)
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -152,17 +153,19 @@ def main() -> None:
 
     # noise guard: this box sees intermittent external load (a 1.8 s query
     # once measured 28 s). Re-measure any query that looks regressed vs the
-    # canonical quiet timings and keep the faster run — transient load is
-    # not an engine regression; genuine regressions reproduce. The
-    # remeasured set is disclosed in the output.
+    # canonical quiet timings TWICE more and keep the MEDIAN of the three —
+    # a single transient-load spike passes (median = the two quiet runs),
+    # but a genuine regression reproducing in 2 of 3 runs stays flagged
+    # (min-of-two previously let a regression that reproduced in only one
+    # of two runs slip through). The remeasured set is disclosed.
     canon = load_canonical()
     remeasured: dict[str, list[float]] = {}
     for name in sorted(qs):
         t = timings[name]
         if is_regressed(t, canon.get(name)):
-            dt2 = timed(name)
-            remeasured[name] = [t, round(dt2, 4)]
-            timings[name] = round(min(t, dt2), 4)
+            runs = sorted([t, round(timed(name), 4), round(timed(name), 4)])
+            remeasured[name] = runs
+            timings[name] = runs[1]  # median of 3
 
     # headline throughput: global DDSketch build over the largest fact table
     from pyspark.sql import functions as F

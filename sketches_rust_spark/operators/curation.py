@@ -2,12 +2,13 @@
 rebalancing, context-window packing, vocabulary statistics, and
 overlapping-window chunking.
 
-All are pure-declarative (no Python operators). The first three are
-driver-oracled (rebalance/vocab via `curation_stats_surface`, packing via
-`curation_pack_context_windows`; the sampling hash is the portable 60-bit
-md5 base hash, dedup._base_hash). split_overlapping_chunks is pinned by
-its reconstruction-invariant property test (tests/test_chunking.py), not
-a DuckDB oracle — the driver registry is at its 50-row cap.
+All are pure-declarative (no Python operators) and driver-oracled
+(rebalance/vocab via `curation_stats_surface`; packing + overlapping-window
+chunking via `curation_windows_surface`; the sampling hash is the portable
+60-bit md5 base hash, dedup._base_hash). split_overlapping_chunks is
+additionally pinned by its reconstruction-invariant property test
+(tests/test_chunking.py); `chunk_stats` is its exact-content driver proof
+(per-chunk text hashes recomputed from scratch in DuckDB).
 """
 
 from __future__ import annotations
@@ -67,8 +68,12 @@ def rebalance_stats_oracle_sql(table: str, fracs: dict[str, float],
                                default_frac: float = 1.0,
                                id_col: str = "doc_id",
                                group_col: str = "lang") -> str:
+    # group values are interpolated as SQL string literals: double any
+    # embedded single quote so a value like "pt'BR" cannot break (or
+    # inject into) the oracle query
     arms = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {float(frac) * _HASH_SPACE!r}"
+        f"WHEN {group_col} = '{g.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {float(frac) * _HASH_SPACE!r}"
         for g, frac in fracs.items())
     thresh = f"(CASE {arms} ELSE {default_frac * _HASH_SPACE!r} END)"
     h = (f"CAST(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
@@ -220,3 +225,80 @@ def split_overlapping_chunks(df: DataFrame, chunk_tokens: int = 256,
     return (df.select(F.col(id_col), F.explode(chunks).alias("_c"))
             .select(id_col, "_c.chunk_id", "_c.chunk_text",
                     "_c.n_chunk_tokens"))
+
+
+_CHUNK_HASH_MOD = 1 << 40  # sum of 2^40 hashes stays in int64 to ~2^23 chunks/group
+
+
+def chunk_stats(df: DataFrame, chunk_tokens: int = 24,
+                overlap_tokens: int = 8,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Driver-oracle proof surface for split_overlapping_chunks: group docs
+    by their chunk COUNT and pin, per group, the doc count, total chunk
+    tokens, and a content hash-sum over every (doc, chunk_id, chunk_text)
+    triple. The hash (60-bit md5 base hash mod 2^40, summed) pins the EXACT
+    text of every chunk — boundaries, the shared ``overlap_tokens`` prefix,
+    and the zero-new-content trailing-drop rule all diverge the hash if the
+    engine and the from-scratch SQL recomputation disagree on any chunk.
+
+    Output: (n_chunks, n_docs, sum_chunk_tokens, sum_chunk_hash); NULL-text
+    docs yield no chunks and so appear in neither side."""
+    ch = split_overlapping_chunks(df, chunk_tokens, overlap_tokens,
+                                  id_col, text_col)
+    h = _base_hash(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.col("chunk_id").cast("string"),
+        F.col("chunk_text"))) % F.lit(_CHUNK_HASH_MOD)
+    per_doc = (ch.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum("n_chunk_tokens").cast("long").alias("_t"),
+                    F.sum(h).alias("_h")))
+    return (per_doc.groupBy("n_chunks")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_t").alias("sum_chunk_tokens"),
+                 F.sum("_h").alias("sum_chunk_hash")))
+
+
+def chunk_stats_oracle_sql(table: str, chunk_tokens: int = 24,
+                           overlap_tokens: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """From-scratch DuckDB recomputation of split_overlapping_chunks +
+    chunk_stats: starts = range(0, n, stride) filtered by the drop rule,
+    chunk text via 1-based inclusive list slicing (matches F.slice), same
+    md5 base hash as the Spark side."""
+    stride = chunk_tokens - overlap_tokens
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS did, string_split({text_col}, ' ') AS tk,
+         len(string_split({text_col}, ' ')) AS n
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+starts AS (
+  SELECT did, tk, n,
+         unnest(list_filter(range(0, n, {stride}),
+                            s -> s = 0 OR s + {overlap_tokens} < n)) AS s
+  FROM toks WHERE n > 0
+),
+chunks AS (
+  SELECT did,
+         row_number() OVER (PARTITION BY did ORDER BY s) - 1 AS cid,
+         array_to_string(tk[s + 1 : s + {chunk_tokens}], ' ') AS ctext,
+         least({chunk_tokens}, n - s) AS nt
+  FROM starts
+),
+per_doc AS (
+  SELECT did, count(*) AS n_chunks, sum(nt) AS t,
+         sum(CAST(concat('0x', substr(md5(
+               CAST(did AS VARCHAR) || ':' || CAST(cid AS VARCHAR)
+               || ':' || ctext), 1, 15)) AS UBIGINT)
+             % {_CHUNK_HASH_MOD}) AS h
+  FROM chunks GROUP BY did
+)
+SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS sum_chunk_tokens,
+       CAST(sum(h) AS BIGINT) AS sum_chunk_hash
+FROM per_doc
+GROUP BY n_chunks
+"""

@@ -275,7 +275,11 @@ def contamination_oracle_sql(corpus_table: str, eval_table: str,
                              text_col: str = "text", shingle_k: int = 3,
                              max_eval_df: int | None = None) -> str:
     """Exact shingle-intersection counts in DuckDB (same 60-bit md5 base
-    hash, distinct per document on both sides)."""
+    hash, distinct per document on both sides).
+
+    ``corpus_table``/``eval_table`` are trusted SQL fragments (table names
+    or subqueries), the same convention as every oracle builder's ``table``
+    arg — they are NOT escaped; don't pass user-controlled strings."""
     e_src = "shh_e"
     if max_eval_df is not None:
         e_src = "capped_e"

@@ -140,6 +140,16 @@ def page_features(pages: DataFrame, engine: str = "jvm",
     matches the repo-wide whitespace-token convention
     (multi_feature_query / DuckDB ``len(string_split(text, ' '))``:
     empty text counts 1).
+
+    ENGINE DIVERGENCE (choose deliberately): the two engines agree on the
+    fixture's entity subset (locked by tests) but NOT on arbitrary crawl
+    HTML — ``jvm`` unescapes only the six ``_JVM_ENTITIES`` named forms
+    with mandatory semicolons, while ``pandas`` uses stdlib
+    ``html.unescape`` (~2k named entities, plus semicolon-less legacy
+    forms like ``&amp`` / ``&lt``). On organic pages containing e.g.
+    ``&mdash;`` or a bare ``&amp``, text_len/token_count differ between
+    engines. When cross-engine determinism matters, pick ONE engine for
+    the whole pipeline (or pre-normalize entities upstream).
     """
     ext = extract_text_from_html("html", engine=engine).alias("_t")
     return (pages

@@ -27,10 +27,19 @@ from pyspark.sql import functions as F
 
 # Java-regex flavor (Spark's regexp_* functions). Order is semantic — see
 # module docstring.
+#
+# Precision notes (matters on ORGANIC corpora, not the planted fixture):
+# ipv4 octets are range-checked (0-255), so 999.999.999.999 is NOT an IP —
+# but syntactically-valid dotted quads that are semantically version
+# strings ("release 1.2.3.4") still match; no regex can tell them apart,
+# so redaction deliberately over-matches there (safe direction for PII).
+# phone is the NANP-ish 3-3-4 shape only; international formats
+# (+44 20 7946 0958) are out of scope and pass through un-redacted.
+_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_KINDS: list[tuple[str, str, str]] = [
     ("url", r"https?://[^\s]+", "[URL]"),
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+(\.[a-zA-Z0-9-]+)+", "[EMAIL]"),
-    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("ipv4", rf"\b({_OCTET}\.){{3}}{_OCTET}\b", "[IP]"),
     ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
 ]
 

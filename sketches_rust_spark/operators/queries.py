@@ -1687,6 +1687,43 @@ SELECT 'vocab' AS src, lang, CAST(n_tokens AS BIGINT) AS m1,
 """
 
 
+def curation_windows_surface_query(pack_q, chunk_q):
+    """Both per-doc window-arithmetic proofs (context packing; overlapping
+    chunking with exact-content hashes) in one long-format result —
+    consolidation for the driver's 50-row correctness cap. key = the
+    sub-proof's group key rendered as a string."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = pack_q(spark, sf_dir).select(
+            F.lit("pack").alias("src"),
+            F.concat_ws(":", F.col("lang"),
+                        F.col("chunk").cast("string")).alias("key"),
+            F.col("n_docs").cast("bigint").alias("m1"),
+            F.col("sum_tokens").cast("bigint").alias("m2"),
+            F.lit(-1).cast("bigint").alias("m3"))
+        b = chunk_q(spark, sf_dir).select(
+            F.lit("chunks").alias("src"),
+            F.col("n_chunks").cast("string").alias("key"),
+            F.col("n_docs").cast("bigint").alias("m1"),
+            F.col("sum_chunk_tokens").cast("bigint").alias("m2"),
+            F.col("sum_chunk_hash").cast("bigint").alias("m3"))
+        return a.unionByName(b)
+    return run
+
+
+def curation_windows_surface_oracle_sql(pack_sql: str,
+                                        chunk_sql: str) -> str:
+    return f"""
+WITH sub_p AS ({pack_sql}), sub_c AS ({chunk_sql})
+SELECT 'pack' AS src, lang || ':' || CAST(chunk AS VARCHAR) AS key,
+       CAST(n_docs AS BIGINT) AS m1, CAST(sum_tokens AS BIGINT) AS m2,
+       CAST(-1 AS BIGINT) AS m3 FROM sub_p
+UNION ALL
+SELECT 'chunks' AS src, CAST(n_chunks AS VARCHAR) AS key,
+       CAST(n_docs AS BIGINT) AS m1, CAST(sum_chunk_tokens AS BIGINT) AS m2,
+       CAST(sum_chunk_hash AS BIGINT) AS m3 FROM sub_c
+"""
+
+
 _CMS_PROBES = list(range(40))
 _BLOOM_PROBES = list(range(60))
 _ANN_PROBES = [0, 1, 2, 3, 4]
@@ -1836,10 +1873,17 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         (lambda spark, sf_dir: __import__(
             "sketches_rust_spark.operators.curation", fromlist=["vocab_stats"]
         ).vocab_stats(load(spark, sf_dir, "documents")))),
-    "curation_pack_context_windows": (lambda spark, sf_dir: __import__(
-        "sketches_rust_spark.operators.curation",
-        fromlist=["pack_context_windows"]
-    ).pack_context_windows(load(spark, sf_dir, "documents"), budget=2048)),
+    # context packing + overlapping chunking (exact per-chunk content
+    # hashes) in one long-format result (50-row driver cap)
+    "curation_windows_surface": curation_windows_surface_query(
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.curation",
+            fromlist=["pack_context_windows"]
+        ).pack_context_windows(load(spark, sf_dir, "documents"), budget=2048)),
+        (lambda spark, sf_dir: __import__(
+            "sketches_rust_spark.operators.curation", fromlist=["chunk_stats"]
+        ).chunk_stats(load(spark, sf_dir, "documents"),
+                      chunk_tokens=24, overlap_tokens=8))),
     # PII redaction under an exact planted-span oracle (operators/pii.py)
     "pii_redaction_stats": pii_redaction_query(),
     # URL canonicalization under an exact planted-variant oracle
@@ -1875,6 +1919,7 @@ from .similarity import (  # noqa: E402
     lsh_topk_oracle_sql,
 )
 from .curation import (  # noqa: E402
+    chunk_stats_oracle_sql,
     pack_context_windows_oracle_sql,
     rebalance_stats_oracle_sql,
     vocab_stats_oracle_sql,
@@ -2027,8 +2072,10 @@ DDSKETCH_ORACLES: dict[str, str] = {
     "curation_stats_surface": curation_stats_surface_oracle_sql(
         rebalance_stats_oracle_sql("documents", _REBALANCE_FRACS),
         vocab_stats_oracle_sql("documents")),
-    "curation_pack_context_windows": pack_context_windows_oracle_sql(
-        "documents", budget=2048),
+    "curation_windows_surface": curation_windows_surface_oracle_sql(
+        pack_context_windows_oracle_sql("documents", budget=2048),
+        chunk_stats_oracle_sql("documents", chunk_tokens=24,
+                               overlap_tokens=8)),
     # counts + exact length arithmetic derived from the planting rule —
     # no regex on the oracle side
     "pii_redaction_stats": pii_redaction_oracle_sql(),

@@ -79,6 +79,38 @@ def test_no_shuffle(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_chunk_stats_matches_duckdb_oracle(spark):
+    """chunk_stats and its from-scratch DuckDB recomputation must agree on
+    adversarial sizes (single-token, exact-boundary, drop-rule-triggering,
+    long docs) — the same pair the driver compares on the documents table."""
+    import random
+
+    import duckdb
+
+    from sketches_rust_spark.operators.curation import (
+        chunk_stats,
+        chunk_stats_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    texts = [" ".join(f"w{rng.randrange(40)}" for _ in range(n))
+             for n in [1, 7, 8, 9, 15, 16, 17, 23, 24, 25, 31, 32, 33,
+                       48, 100, 257]]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = (chunk_stats(df, chunk_tokens=24, overlap_tokens=8)
+           .orderBy("n_chunks").toPandas())
+
+    con = duckdb.connect()
+    con.register("docs_df", df.toPandas())
+    want = con.execute(
+        chunk_stats_oracle_sql("docs_df", chunk_tokens=24, overlap_tokens=8)
+        + " ORDER BY n_chunks").df()
+    assert got.shape == want.shape and len(got) >= 3
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
 def test_null_text_yields_no_chunks(spark):
     """NULL-text docs vanish from the exploded output (documented) —
     previously they produced a phantom chunk with n_chunk_tokens ==

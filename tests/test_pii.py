@@ -26,6 +26,10 @@ _CASES = [
     ("release v1.2.3.4 shipped", "release v1.2.3.4 shipped", 0, 0, 0, 0),
     # bare dotted quad IS ip-shaped, by design
     ("quad 1.2.3.4 alone", "quad [IP] alone", 0, 0, 1, 0),
+    # octets are range-checked: out-of-range quads are NOT IPs
+    ("bogus 999.999.999.999 here", "bogus 999.999.999.999 here", 0, 0, 0, 0),
+    ("edge 255.255.255.255 and 256.1.1.1",
+     "edge [IP] and 256.1.1.1", 0, 0, 1, 0),
     ("", "", 0, 0, 0, 0),
 ]
 
