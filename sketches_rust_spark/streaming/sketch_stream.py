@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -155,15 +156,84 @@ def stateful_sketch_stream_with_eviction(
     the operator degrades to per-session sketches rather than dying.
 
     Output: (key, count, estimate, evicted)."""
-    from pyspark.sql.types import BooleanType
-    out_schema = StructType([
-        StructField("key", StringType(), False),
-        StructField("count", DoubleType(), False),
-        StructField("estimate", DoubleType(), True),
-        StructField("evicted", BooleanType(), False),
-    ])
-    state_schema = StructType([StructField("blob", BinaryType(), True)])
+    def arm(state: GroupState, batch_max_ts) -> None:
+        state.setTimeoutDuration(timeout_ms)
 
+    return (stream_df
+            .groupBy(F.col(key))
+            .applyInPandasWithState(
+                _eviction_update(value_col, config, quantile, None, arm),
+                outputStructType=_EVICT_OUT_SCHEMA,
+                stateStructType=_EVICT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            ))
+
+
+def stateful_sketch_stream_with_event_time_eviction(
+    stream_df: DataFrame,
+    value_col: str,
+    key: str,
+    config: SketchConfig,
+    ts_col: str,
+    quantile: float = 0.99,
+    watermark: str = "10 seconds",
+    idle_gap_ms: int = 30_000,
+):
+    """`stateful_sketch_stream_with_eviction` with WATERMARK-driven (event-
+    time) eviction: a key's state is dropped once the stream's watermark
+    passes its last event's timestamp + ``idle_gap_ms``.
+
+    This is the replay-deterministic variant: ProcessingTimeTimeout fires on
+    executor wall clock, so a backfill that replays a month of events in an
+    hour evicts nothing (or everything, depending on pacing) — while the
+    event-time timeout depends only on the DATA's timestamps and the
+    watermark, so a 100-TB replay produces the same eviction sequence as
+    the original live run. Same output contract: (key, count, estimate,
+    evicted); evicted keys re-initialize from empty on reappearance.
+
+    The stream gains ``withWatermark(ts_col, watermark)`` here — late rows
+    beyond ``watermark`` are subject to the engine's late-data handling, and
+    the watermark only advances as data arrives (no data => no eviction, by
+    design: an idle SOURCE must not decay state during an outage)."""
+    def arm(state: GroupState, batch_max_ts) -> None:
+        wm = state.getCurrentWatermarkMs()
+        if batch_max_ts is not None:
+            event_ms = int(pd.Timestamp(batch_max_ts).value // 1_000_000)
+            # Spark rejects a timeout timestamp <= current watermark; a
+            # batch can legitimately carry only late rows for this key
+            state.setTimeoutTimestamp(max(event_ms + idle_gap_ms, wm + 1))
+        else:
+            state.setTimeoutTimestamp(max(wm, 0) + idle_gap_ms)
+
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(key))
+            .applyInPandasWithState(
+                _eviction_update(value_col, config, quantile, ts_col, arm),
+                outputStructType=_EVICT_OUT_SCHEMA,
+                stateStructType=_EVICT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))
+
+
+_EVICT_OUT_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("count", DoubleType(), False),
+    StructField("estimate", DoubleType(), True),
+    StructField("evicted", BooleanType(), False),
+])
+_EVICT_STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
+
+
+def _eviction_update(value_col: str, config: SketchConfig, quantile: float,
+                     ts_col: str | None, arm):
+    """Shared applyInPandasWithState update for the two eviction variants;
+    ``arm(state, batch_max_ts)`` sets the next timeout (wall-clock duration,
+    ignoring the timestamp; or watermark-relative event-time timestamp).
+    Chunks are consumed streamingly — only the running max timestamp is
+    tracked, never the buffered batch."""
     def update(key_tuple, pdf_iter, state: GroupState):
         import numpy as np
         if state.hasTimedOut:
@@ -186,26 +256,23 @@ def stateful_sketch_stream_with_eviction(
             (blob,) = state.get
             if blob is not None:
                 sk.decode_and_merge_with(bytes(blob))
+        batch_max_ts = None
         for pdf in pdf_iter:
             sk.accept_many(pdf[value_col].to_numpy(np.float64, na_value=np.nan))
+            if ts_col is not None and len(pdf):
+                mx = pdf[ts_col].max()
+                if not pd.isna(mx) and (batch_max_ts is None
+                                        or mx > batch_max_ts):
+                    batch_max_ts = mx
         state.update((bytearray(sk.encode()),))
-        state.setTimeoutDuration(timeout_ms)
+        arm(state, batch_max_ts)
         yield pd.DataFrame([{
             "key": key_tuple[0],
             "count": sk.get_count(),
             "estimate": sk.get_value_at_quantile(quantile),
             "evicted": False,
         }])
-
-    return (stream_df
-            .groupBy(F.col(key))
-            .applyInPandasWithState(
-                update,
-                outputStructType=out_schema,
-                stateStructType=state_schema,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-            ))
+    return update
 
 
 def windowed_sketch_histogram(

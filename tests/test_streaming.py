@@ -145,6 +145,92 @@ def test_windowed_histogram_weighted(spark, tmp_path, events_stream_dir):
     assert got == want
 
 
+def test_event_time_eviction_is_watermark_driven(spark, tmp_path):
+    """The EventTimeTimeout variant evicts on the DATA's clock: a key whose
+    last event timestamp + idle_gap falls behind the advancing watermark is
+    dropped, regardless of wall-clock pacing — the deterministic behavior a
+    100-TB replay/backfill needs (ProcessingTimeTimeout would evict
+    nothing, or everything, depending on replay speed).
+
+    Sequencing: ONE continuous query; each file drop advances event time by
+    a scripted amount, and each step waits for the observed sink row, so
+    the eviction order is a pure function of the timestamps:
+      T0: k1, k2 arrive             -> both live
+      T0+20s: k1 arrives            -> watermark passes k2's T0+5s deadline
+                                        -> k2 evicted (final count 5)
+      T0+30s: k2 reappears          -> RE-INITIALIZED (count 3, not 8);
+                                        watermark passes k1's T0+25s
+                                        deadline -> k1 evicted (count 11)
+      T0+40s: k1 reappears          -> fresh state (count 2, not 13);
+                                        watermark passes k2's T0+35s
+                                        deadline -> k2 evicted again
+    (watermark delay 2 s, idle gap 5 s; no eviction ever fires from wall
+    clock — the test never sleeps for eviction, only polls the sink)."""
+    import time
+    from datetime import datetime, timedelta
+
+    from sketches_rust_spark.streaming.sketch_stream import (
+        stateful_sketch_stream_with_event_time_eviction)
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    t0 = datetime(2025, 6, 1, 0, 0, 0)
+
+    def write_file(rows_at):  # [(key, n_rows, offset_s)]
+        rows = [(k, float(i), t0 + timedelta(seconds=off))
+                for k, n, off in rows_at for i in range(n)]
+        spark.createDataFrame(rows, ["key", "v", "ts"]).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    write_file([("k1", 10, 0), ("k2", 5, 0)])
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_sketch_stream_with_event_time_eviction(
+        stream, "v", "key", CFG, ts_col="ts", quantile=0.5,
+        watermark="2 seconds", idle_gap_ms=5_000)
+    q = (out.writeStream
+         .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="200 milliseconds").start())
+
+    def await_rows(expect, timeout_s=90):
+        deadline = time.time() + timeout_s
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {(r["key"], r["evicted"], r["count"])
+                       for r in spark.read.parquet(sink).collect()}
+            except Exception:
+                got = set()
+            if expect <= got:
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"wanted {expect}, sink has {got}")
+
+    try:
+        await_rows({("k1", False, 10.0), ("k2", False, 5.0)})
+        # k1 advances event time; ONLY k2's deadline is behind the new
+        # watermark -> k2 evicted with its final count, k1 keeps its state
+        write_file([("k1", 1, 20)])
+        await_rows({("k1", False, 11.0), ("k2", True, 5.0)})
+        # k2 reappears: re-initialized; its arrival advances the watermark
+        # past k1's deadline -> k1 evicted carrying count 11
+        write_file([("k2", 3, 30)])
+        await_rows({("k2", False, 3.0), ("k1", True, 11.0)})
+        # k1 reappears fresh; watermark passes k2's second deadline
+        write_file([("k1", 2, 40)])
+        await_rows({("k1", False, 2.0), ("k2", True, 3.0)})
+        all_rows = {(r["key"], r["evicted"], r["count"])
+                    for r in spark.read.parquet(sink).collect()}
+        assert ("k2", False, 8.0) not in all_rows
+        assert ("k1", False, 13.0) not in all_rows
+    finally:
+        q.stop()
+
+
 def test_stateful_eviction_bounds_state_and_reinitializes(spark, tmp_path):
     """The timeout-eviction variant must (1) evict idle keys — emitting a
     final evicted=true row and dropping their state — and (2) RE-INITIALIZE
