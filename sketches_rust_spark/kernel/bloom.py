@@ -73,6 +73,11 @@ class BloomFilter:
         if data[:4] != _MAGIC:
             raise ValueError("not a BLM1 blob")
         m_bits, k = struct.unpack_from("<QI", data, 4)
+        # validate payload length BEFORE constructing: a hostile header can
+        # declare m_bits up to 2^64 and the constructor allocates the bitset
+        if len(data) != 16 + (m_bits + 7) // 8:
+            raise ValueError(
+                f"corrupt Bloom blob: {len(data)} bytes for m_bits={m_bits}")
         bf = BloomFilter(m_bits, k)
         bf.bits = np.frombuffer(data[16:], dtype=np.uint8).copy()
         return bf

@@ -82,6 +82,12 @@ class CountMinSketch:
         if data[:4] != _MAGIC:
             raise ValueError("not a CMS1 blob")
         d, w = struct.unpack_from("<II", data, 4)
+        # validate payload length BEFORE constructing: a hostile header can
+        # declare d*w up to 2^64 cells, and the constructor allocates the
+        # table — the length check (pure int arithmetic) must gate it
+        if len(data) != 12 + 8 * d * w:
+            raise ValueError(
+                f"corrupt CMS blob: {len(data)} bytes for depth={d} width={w}")
         cms = CountMinSketch(d, w)
         cms.table = np.frombuffer(data[12:], dtype="<i8").reshape(d, w).astype(np.int64)
         return cms

@@ -81,6 +81,8 @@ class HyperLogLog:
     def decode(data: bytes) -> "HyperLogLog":
         if data[:4] != _MAGIC:
             raise ValueError("not an HLL1 blob")
+        if len(data) < 5:
+            raise ValueError("corrupt HLL blob: missing precision byte")
         h = HyperLogLog(data[4])
         h.registers = np.frombuffer(data[5:], dtype=np.uint8).copy()
         if h.registers.shape[0] != h.m:

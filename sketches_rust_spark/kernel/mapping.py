@@ -106,6 +106,12 @@ class IndexMapping:
             cf, base = _CUBIC_CORRECTING_FACTOR, _CUBIC_BASE
         else:
             raise ValueError("Unsupported IndexLayout")
+        # decode robustness: a corrupt blob's gamma/offset doubles must fail
+        # loudly here, not NaN-poison every later index computation
+        if not (math.isfinite(gamma) and gamma > 1.0):
+            raise ValueError(f"invalid IndexMapping gamma: {gamma!r}")
+        if not math.isfinite(index_offset):
+            raise ValueError(f"invalid IndexMapping offset: {index_offset!r}")
         multiplier = math.log(base) / math.log(gamma)
         return IndexMapping(layout, gamma, index_offset, multiplier,
                             _calculate_relative_accuracy(gamma, cf))

@@ -41,6 +41,15 @@ INDEX_DELTAS_AND_COUNTS = 1
 INDEX_DELTAS = 2
 CONTIGUOUS_COUNTS = 3
 
+# Decode-robustness cap on the dense span an UNBOUNDED store will
+# materialize from wire bytes: two sparse bins at -2^31 and 2^31-1 fit in
+# ~15 blob bytes but would reframe a 32 GiB counts array. 2^26 bins
+# (512 MiB) is ~10x beyond the widest span a genuine mapping produces at
+# the smallest supported alpha over the full double range; collapsing
+# stores clamp to max_num_bins and need no cap. Build-path inserts
+# (accept/add) are NOT routed through this check.
+MAX_DECODE_DENSE_SPAN = 1 << 26
+
 # Flag types (spec sketch.rs:26-31).
 FLAG_TYPE_SKETCH_FEATURES = 0b00
 FLAG_TYPE_POSITIVE_STORE = 0b01
@@ -260,12 +269,30 @@ class DenseStore:
                     serde.encode_var_double(buf, float(c))
                     previous_index = index
 
+    def _check_decode_span(self, lo: int, hi: int) -> None:
+        """Reject wire input whose bins would reframe this store beyond
+        MAX_DECODE_DENSE_SPAN (hostile/corrupt blobs declare extreme
+        indexes in a handful of bytes; see the constant's comment)."""
+        if self.kind != UNBOUNDED:
+            return  # collapsing stores clamp the span to max_num_bins
+        if not self.is_empty():
+            lo = min(lo, self.min_index)
+            hi = max(hi, self.max_index)
+        if hi - lo + 1 > MAX_DECODE_DENSE_SPAN:
+            raise ValueError(
+                f"corrupt blob: decoded bin span {hi - lo + 1} exceeds "
+                f"{MAX_DECODE_DENSE_SPAN}")
+
     def decode_and_merge_with(self, inp: Input, mode: int) -> None:
         """Decode one bin block, adding straight into this store
         (spec store/mod.rs:92-141). Non-positive decoded counts are dropped by
-        ``add`` exactly as in the reference."""
+        ``add`` exactly as in the reference. A declared bin count is never
+        trusted for allocation: sparse loops are bounded by input exhaustion
+        and dense spans by MAX_DECODE_DENSE_SPAN."""
         if mode == INDEX_DELTAS_AND_COUNTS:
             num_bins = serde.decode_unsigned_var_long(inp)
+            if num_bins < 0:
+                raise ValueError("corrupt blob: negative bin count")
             indexes, cnts = [], []
             index = 0
             for _ in range(num_bins):
@@ -275,19 +302,25 @@ class DenseStore:
                     indexes.append(serde.i64_to_i32_exact(index))
                     cnts.append(count)
             if indexes:
+                self._check_decode_span(min(indexes), max(indexes))
                 self.add_many(np.array(indexes, dtype=np.int64),
                               np.array(cnts, dtype=np.float64))
         elif mode == INDEX_DELTAS:
             num_bins = serde.decode_unsigned_var_long(inp)
+            if num_bins < 0:
+                raise ValueError("corrupt blob: negative bin count")
             indexes = []
             index = 0
             for _ in range(num_bins):
                 index += serde.decode_signed_var_long(inp)
                 indexes.append(serde.i64_to_i32_exact(index))
             if indexes:
+                self._check_decode_span(min(indexes), max(indexes))
                 self.add_many(np.array(indexes, dtype=np.int64))
         elif mode == CONTIGUOUS_COUNTS:
             num_bins = serde.decode_unsigned_var_long(inp)
+            if num_bins < 0:
+                raise ValueError("corrupt blob: negative bin count")
             index = serde.decode_signed_var_long(inp)
             index_delta = serde.decode_signed_var_long(inp)
             fast = serde.try_decode_var_double_array(inp.buffer(), inp.tell(), num_bins)
@@ -300,6 +333,7 @@ class DenseStore:
                     lo, hi = int(idx[keep].min()), int(idx[keep].max())
                     serde.i64_to_i32_exact(lo)
                     serde.i64_to_i32_exact(hi)
+                    self._check_decode_span(lo, hi)
                     self.add_many(idx[keep], values[keep])
                 return
             indexes, cnts = [], []
@@ -310,6 +344,7 @@ class DenseStore:
                     cnts.append(count)
                 index += index_delta
             if indexes:
+                self._check_decode_span(min(indexes), max(indexes))
                 self.add_many(np.array(indexes, dtype=np.int64),
                               np.array(cnts, dtype=np.float64))
         else:

@@ -28,7 +28,7 @@ class TDigest:
     __slots__ = ("delta", "means", "weights", "_min", "_max", "buffer")
 
     def __init__(self, delta: float = 200.0):
-        if delta < 10:
+        if not (delta >= 10):  # NaN fails this form; `delta < 10` would not
             raise ValueError("delta >= 10 required")
         self.delta = float(delta)
         self.means = np.zeros(0, dtype=np.float64)

@@ -63,6 +63,36 @@ def test_broadcast_anti_join_plan(spark):
     assert "BroadcastHashJoin" in plan  # AQE's runtime choice at this size
 
 
+def test_shuffled_anti_join_regime_same_output(spark):
+    """The documented 100-TB behavior, actually executed: when the
+    boilerplate set exceeds autoBroadcastJoinThreshold (here lowered to
+    1 byte so ANY build side exceeds it), the anti-join must fall back to
+    a SHUFFLED join — and produce byte-identical output to the broadcast
+    regime. This is the regime a whole-crawl corpus (boilerplate set grows
+    with #sites) actually runs in."""
+    df = spark.createDataFrame(_DOCS, "doc_id int, text string")
+
+    out_b = remove_boilerplate_lines(df, 2)
+    want = {(r["doc_id"], r["cleaned"], r["lines_kept"])
+            for r in out_b.collect()}
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        out_s = remove_boilerplate_lines(df, 2)
+        got = {(r["doc_id"], r["cleaned"], r["lines_kept"])
+               for r in out_s.collect()}
+        plan = out_s._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # post-execution (AQE-final) plan: anti join present, NOT broadcast
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, plan
+    assert all("Broadcast" not in ln for ln in anti_lines), anti_lines
+    assert got == want
+
+
 def test_null_text_propagates(spark):
     """NULL text stays NULL (distinguishable from an all-boilerplate doc,
     which comes back as '')."""
