@@ -5,12 +5,17 @@ per-item work (decode, resize, feature extraction, frame sampling) runs as
 Arrow-batched ``mapInPandas`` stages so the Spark-side plumbing — schema,
 partitioning, batch shape — is identical to a production pipeline.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT available in this sandbox,
-so the decode step is stubbed: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder derives
-(width, height, mean_luma) from the bytes — keeping every downstream stage
-real and testable. Swap ``_fake_decode`` for a PIL call on a real cluster;
-nothing else changes.
+AUDIO IS REAL: ``decode_audio_features(fake=False)`` parses a genuine
+RIFF/WAVE container with the stdlib ``wave`` module (PCM 8/16-bit, any
+channel count) — real bytes in, real demux, ValueError on corrupt input —
+and ``encode_wav_pcm8`` writes real WAV containers, so the driver pipeline
+runs encode -> decode -> features end-to-end on actual media bytes.
+
+The image/video codecs (PIL/ffmpeg) are NOT available in this sandbox, so
+those decode steps are stubbed: they raise NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder derives features
+from the bytes — keeping every downstream stage real and testable. Swap
+``_fake_decode`` for a PIL call on a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -126,27 +131,97 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 _FAKE_SAMPLE_RATE = 16000  # bytes/sec of the fake PCM stream
+_WAV_PCM8_HEADER_BYTES = 44  # canonical RIFF+fmt+data header stdlib wave writes
+
+
+def encode_wav_pcm8(df: DataFrame, rate: int = _FAKE_SAMPLE_RATE) -> DataFrame:
+    """Wrap each payload's bytes as a REAL mono 8-bit-PCM RIFF/WAVE
+    container (stdlib ``wave`` writer; one sample per input byte). This is
+    the media-ingest shape — raw samples in, a standards-compliant
+    container out — and it feeds ``decode_audio_features(fake=False)`` for
+    a genuine encode->demux round trip on real bytes.
+
+    Output: (media_id, kind='audio', payload=wav bytes)."""
+    import io
+    import wave
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(bytes(payload))
+                rows.append((int(mid), "audio", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(stage, schema=out_schema))
+
+
+def _decode_wav(data: bytes) -> tuple[float, float]:
+    """REAL WAV demux via stdlib ``wave``: (duration_s, mean_amp) for PCM
+    8-bit unsigned or 16-bit signed, any channel count. Raises ValueError
+    on anything that is not a parsable PCM WAV container."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable WAV container: {e}") from e
+    if rate <= 0:
+        raise ValueError("corrupt WAV: non-positive frame rate")
+    duration = n_frames / rate
+    if sw == 1:
+        b = np.frombuffer(frames, dtype=np.uint8)
+        amp = float(np.abs(b.astype(np.float64) - 128.0).mean()) / 128.0 \
+            if b.size else 0.0
+    elif sw == 2:
+        s = np.frombuffer(frames, dtype="<i2")
+        amp = float(np.abs(s.astype(np.float64)).mean()) / 32768.0 \
+            if s.size else 0.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    return duration, amp
 
 
 def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Per-clip audio decode + features as an Arrow-batched stage. The fake
-    decoder treats the payload as unsigned 8-bit PCM at 16 kB/s: duration =
-    n_bytes / rate, mean amplitude = mean(|b - 128|)/128. Swap for
-    soundfile/ffmpeg on a real cluster; the plumbing is unchanged."""
+    """Per-clip audio decode + features as an Arrow-batched stage.
+
+    fake=False (default): REAL decode — the payload must be a RIFF/WAVE
+    container (e.g. from ``encode_wav_pcm8``); stdlib ``wave`` demuxes it,
+    duration = n_frames / frame_rate, mean amplitude normalized per sample
+    width. Corrupt containers raise ValueError (a 100-TB job wants the
+    loud failure, not a silent zero).
+
+    fake=True: the headerless stub — payload treated as raw unsigned 8-bit
+    PCM at 16 kB/s (kept for parity with the other stubbed codecs)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if not fake:
-                    raise NotImplementedError(
-                        "audio decoding requires soundfile/ffmpeg, not "
-                        "present in this sandbox; pass fake=True")
-                b = np.frombuffer(data, dtype=np.uint8)
-                duration = len(data) / _FAKE_SAMPLE_RATE
-                amp = float(np.abs(b.astype(np.float64) - 128.0).mean()) / 128.0 \
-                    if len(b) else 0.0
+                if fake:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    duration = len(data) / _FAKE_SAMPLE_RATE
+                    amp = float(np.abs(b.astype(np.float64) - 128.0).mean()) / 128.0 \
+                        if len(b) else 0.0
+                else:
+                    duration, amp = _decode_wav(data)
                 rows.append((int(mid), duration, amp, len(data)))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
@@ -244,9 +319,16 @@ FROM m, unnest(range(0, greatest(n // 64, 1), {every_nth})) AS t(fi)
 
 def audio_features_oracle_sql(table: str, id_col: str = "doc_id",
                               text_col: str = "text",
-                              digits: int = 9) -> str:
-    """Oracle for decode_audio_features(media_from_documents(..., 'audio'),
-    fake=True): 8-bit-PCM byte arithmetic over the ASCII payload."""
+                              digits: int = 9,
+                              container_overhead: int = 0) -> str:
+    """Oracle for audio features over the ASCII payload's 8-bit-PCM byte
+    arithmetic. Covers BOTH paths with one formula: the fake decoder
+    (container_overhead=0, payload = raw bytes) and the REAL wave-module
+    round trip encode_wav_pcm8 -> decode_audio_features(fake=False)
+    (container_overhead=_WAV_PCM8_HEADER_BYTES: one sample per text byte,
+    frame rate 16 kHz, plus the canonical 44-byte RIFF/fmt/data header in
+    n_bytes — a mismatch means the container was not really written or not
+    really parsed)."""
     return f"""
 WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
                   length({text_col}) AS n FROM {table})
@@ -256,7 +338,7 @@ SELECT media_id,
                 i -> CAST(abs(ascii(text[i]) - 128) AS DOUBLE)), 'sum'), 0.0)
               / greatest(n, 1))
              / 128, {digits}) AS mean_amp,
-       CAST(n AS BIGINT) AS n_bytes
+       CAST(n + {container_overhead} AS BIGINT) AS n_bytes
 FROM m
 """
 

@@ -1132,16 +1132,20 @@ def multimodal_all_query(every_nth: int = 2, factor: int = 2):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .multimodal import (decode_audio_features, decode_image_features,
-                                 media_from_documents, resize_images,
-                                 sample_video_frames)
+                                 encode_wav_pcm8, media_from_documents,
+                                 resize_images, sample_video_frames)
         docs = load(spark, sf_dir, "documents")
         img = decode_image_features(
             media_from_documents(docs), fake=True).select(
             "media_id", F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
             F.round("mean_luma", 9).alias("mean_luma"), "n_bytes")
+        # REAL codec path: write genuine RIFF/WAVE containers, demux them
+        # with stdlib wave (fake=False) — the oracle's +44-byte n_bytes and
+        # frame-count duration pin that real containers were round-tripped
         aud = decode_audio_features(
-            media_from_documents(docs, "audio"), fake=True).select(
+            encode_wav_pcm8(media_from_documents(docs, "audio")),
+            fake=False).select(
             "media_id", F.round("duration_s", 9).alias("duration_s"),
             F.round("mean_amp", 9).alias("mean_amp"), "n_bytes")
         frames = sample_video_frames(
@@ -1181,12 +1185,15 @@ def multimodal_all_oracle_sql(every_nth: int = 2, factor: int = 2) -> str:
             for c in pairs)
         return f"sub_{stage} AS ({inner})", arms
 
+    from .multimodal import _WAV_PCM8_HEADER_BYTES
+
     img_cte, img_sel = melt_sql(image_features_oracle_sql("documents"),
                                 "image_features",
                                 ["width", "height", "mean_luma", "n_bytes"])
-    aud_cte, aud_sel = melt_sql(audio_features_oracle_sql("documents"),
-                                "audio_features",
-                                ["duration_s", "mean_amp", "n_bytes"])
+    aud_cte, aud_sel = melt_sql(
+        audio_features_oracle_sql(
+            "documents", container_overhead=_WAV_PCM8_HEADER_BYTES),
+        "audio_features", ["duration_s", "mean_amp", "n_bytes"])
     frm = frame_sample_oracle_sql("documents", every_nth=every_nth)
     rez = resize_images_oracle_sql("documents", factor=factor)
     return f"""
