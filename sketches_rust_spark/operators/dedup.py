@@ -539,8 +539,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
     splitting components (dedup_keep_canonical would retain duplicates).
 
     stats: optional dict filled with {'input_edges', 'contracted_edges',
-    'rounds'} — extra count() actions, so pass it only when instrumenting
-    (adversarial-skew evidence lives in tests/test_pipeline_ops.py and
+    'rounds', 'changed_per_round'} — extra count() actions, so pass it only
+    when instrumenting (adversarial-skew evidence lives in
+    tests/test_pipeline_ops.py, scripts/cc_scale_point.py and
     BENCH/BASELINE.md)."""
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -561,6 +562,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
         stats["input_edges"] = edges.count()
         stats["contracted_edges"] = e2.count()
         stats["rounds"] = 0
+        stats["changed_per_round"] = []
     # phase 2: pointer-jumping min-label loop over the contracted graph
     labels = (e2.select(F.col("src").alias("_id")).distinct()
               .withColumn("cluster", F.col("_id"))).localCheckpoint()
@@ -582,6 +584,8 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
                                ).alias("_chg"))
                       ).localCheckpoint()
         changed = new_labels.where(F.col("_chg")).count()
+        if stats is not None:
+            stats["changed_per_round"].append(changed)
         labels.unpersist()
         labels = new_labels.drop("_chg")
     if changed != 0:
