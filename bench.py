@@ -71,7 +71,10 @@ def regression_check(timings: dict[str, float]) -> dict:
     """Regression gate against the canonical quiet-run timings
     (BENCH/CANONICAL.json) per is_regressed. Hard bound: the round-1-shared
     queries PLUS every consolidated surface that absorbed a round-1 query
-    (full surface time, conservatively) must total <= 35 s."""
+    (full surface time, conservatively) must total <= 33 s (tightened from
+    35 in round 5 after the pages row-group fix; canonical expectation for
+    the set is ~28 s, so the bound keeps teeth while leaving ~1.2x of
+    box-noise headroom)."""
     out: dict = {"regressions": [], "r1_shared_total_sec": None}
     canon = load_canonical()
     for name, t in timings.items():
@@ -90,9 +93,9 @@ def regression_check(timings: dict[str, float]) -> dict:
         total = round(sum(timings[q] for q in shared), 2)
         out["r1_shared_total_sec"] = total
         out["r1_shared_count"] = len(shared)
-        out["r1_shared_bound_ok"] = total <= 35.0
+        out["r1_shared_bound_ok"] = total <= 33.0
         # the same sum over the canonical quiet-run minima: when bound_ok
-        # is False but this is well under 35, the miss is box noise (this
+        # is False but this is well under 33, the miss is box noise (this
         # machine carries intermittent external load, see BENCH/BASELINE.md)
         # rather than a code regression
         out["r1_shared_canonical_sec"] = round(
