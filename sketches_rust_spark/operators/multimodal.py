@@ -64,26 +64,85 @@ IMAGE_FEATURES_SCHEMA = StructType([
     StructField("n_bytes", LongType(), False),
 ])
 
+_PPM_WIDTH = 64  # fixed raster width encode_ppm_rgb uses
+_PPM_MAGIC = b"P6"
 
-def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Per-image decode + feature extraction as an Arrow-batched stage.
 
-    On a real cluster replace the fake decoder with PIL:
-        img = PIL.Image.open(io.BytesIO(payload)); arr = np.asarray(img)
-    The Spark plumbing (schema, batch iteration, partitioning) is unchanged.
-    """
+def encode_ppm_rgb(df: DataFrame, width: int = _PPM_WIDTH) -> DataFrame:
+    """Wrap each payload's bytes as a REAL binary-PPM (P6) image: raw RGB
+    raster of fixed ``width``, height = ceil(n / (3 * width)), zero-padded
+    to a full raster. Netpbm P6 is the standards-compliant uncompressed
+    image container every tool chain reads — so the driver pipeline runs a
+    genuine image encode -> parse -> features path with no native deps.
+
+    Output: (media_id, kind='image', payload=ppm bytes)."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    row_bytes = 3 * width
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if not fake:
-                    raise NotImplementedError(
-                        "image decoding requires PIL/ffmpeg, not present in "
-                        "this sandbox; pass fake=True for the deterministic "
-                        "stub decoder")
-                w, h, luma = _fake_decode(data)
+                height = max(1, -(-len(data) // row_bytes))
+                raster = data.ljust(width * height * 3, b"\0")
+                header = f"P6\n{width} {height}\n255\n".encode("ascii")
+                rows.append((int(mid), "image", header + raster))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(stage, schema=out_schema))
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, float]:
+    """REAL P6 parse: header (magic, dims, maxval) + raw RGB raster.
+    Returns (width, height, mean_brightness in [0,1] — the unweighted mean
+    over all RGB bytes). ValueError on malformed input; the raster-length
+    check is pure int arithmetic, so hostile declared dims cannot force an
+    allocation."""
+    import re
+
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if not m:
+        raise ValueError("not a binary PPM (P6) image")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 8-bit)")
+    raster = data[m.end():]
+    if w <= 0 or h <= 0 or len(raster) != w * h * 3:
+        raise ValueError(
+            f"corrupt PPM: {len(raster)} raster bytes for {w}x{h}")
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    return w, h, float(arr.mean()) / 255.0
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-image decode + feature extraction as an Arrow-batched stage.
+
+    fake=False (default): REAL decode — the payload must be a binary-PPM
+    (P6) image (e.g. from ``encode_ppm_rgb``); width/height come from the
+    parsed header, mean_luma is the true mean raster brightness. Corrupt
+    images raise ValueError. For JPEG/PNG on a real cluster swap in PIL:
+        img = PIL.Image.open(io.BytesIO(payload)); arr = np.asarray(img)
+    — the Spark plumbing (schema, batch iteration, partitioning) is
+    unchanged.
+
+    fake=True: the deterministic stub that derives pseudo-features from
+    raw bytes (kept for parity with the stubbed video path)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if fake:
+                    w, h, luma = _fake_decode(data)
+                else:
+                    w, h, luma = _decode_ppm(data)
                 rows.append((int(mid), w, h, luma, len(data)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
@@ -297,6 +356,37 @@ SELECT media_id,
        round((CAST(sall AS DOUBLE) / 256) / 255, {luma_digits}) AS mean_luma,
        CAST(n AS BIGINT) AS n_bytes
 FROM sums
+"""
+
+
+def ppm_image_features_oracle_sql(table: str, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  width: int = _PPM_WIDTH,
+                                  luma_digits: int = 9) -> str:
+    """Oracle for the REAL image path encode_ppm_rgb ->
+    decode_image_features(fake=False): height is the padded raster height
+    ceil(n / 3w), mean_luma the mean over ALL w*h*3 raster bytes (padding
+    zeros included — they are image content), and n_bytes the container
+    size including the exact 'P6\\n{w} {h}\\n255\\n' header — so a decode
+    that did not really parse the container cannot hash-match."""
+    rb = 3 * width
+    return f"""
+WITH m AS (SELECT {id_col} AS media_id, {text_col} AS text,
+                  length({text_col}) AS n FROM {table}),
+dims AS (
+  SELECT media_id, text, n,
+         greatest(1, (n + {rb} - 1) // {rb}) AS h
+  FROM m
+)
+SELECT media_id,
+       CAST({width} AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round((coalesce(list_aggregate(list_transform(range(1, n + 1),
+                i -> CAST(ascii(text[i]) AS DOUBLE)), 'sum'), 0.0)
+              / (h * {rb})) / 255, {luma_digits}) AS mean_luma,
+       CAST(9 + length(CAST({width} AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + h * {rb} AS BIGINT) AS n_bytes
+FROM dims
 """
 
 

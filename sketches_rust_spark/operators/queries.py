@@ -1132,11 +1132,15 @@ def multimodal_all_query(every_nth: int = 2, factor: int = 2):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .multimodal import (decode_audio_features, decode_image_features,
-                                 encode_wav_pcm8, media_from_documents,
-                                 resize_images, sample_video_frames)
+                                 encode_ppm_rgb, encode_wav_pcm8,
+                                 media_from_documents, resize_images,
+                                 sample_video_frames)
         docs = load(spark, sf_dir, "documents")
+        # REAL codec path: write genuine P6 PPM images, parse them back
+        # (fake=False) — header dims + padded-raster brightness + container
+        # size pin that a real image container was written and parsed
         img = decode_image_features(
-            media_from_documents(docs), fake=True).select(
+            encode_ppm_rgb(media_from_documents(docs)), fake=False).select(
             "media_id", F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
             F.round("mean_luma", 9).alias("mean_luma"), "n_bytes")
@@ -1175,7 +1179,6 @@ def multimodal_all_query(every_nth: int = 2, factor: int = 2):
 def multimodal_all_oracle_sql(every_nth: int = 2, factor: int = 2) -> str:
     from .multimodal import (audio_features_oracle_sql,
                              frame_sample_oracle_sql,
-                             image_features_oracle_sql,
                              resize_images_oracle_sql)
 
     def melt_sql(inner: str, stage: str, pairs: list[str]) -> str:
@@ -1185,9 +1188,9 @@ def multimodal_all_oracle_sql(every_nth: int = 2, factor: int = 2) -> str:
             for c in pairs)
         return f"sub_{stage} AS ({inner})", arms
 
-    from .multimodal import _WAV_PCM8_HEADER_BYTES
+    from .multimodal import _WAV_PCM8_HEADER_BYTES, ppm_image_features_oracle_sql
 
-    img_cte, img_sel = melt_sql(image_features_oracle_sql("documents"),
+    img_cte, img_sel = melt_sql(ppm_image_features_oracle_sql("documents"),
                                 "image_features",
                                 ["width", "height", "mean_luma", "n_bytes"])
     aud_cte, aud_sel = melt_sql(

@@ -203,6 +203,69 @@ def test_multimodal_frame_sampling(spark):
     assert frames.groupby("media_id").size().min() >= 1
 
 
+def test_real_ppm_codec_round_trip(spark):
+    """The REAL image codec: encode_ppm_rgb writes genuine P6 PPM images,
+    decode_image_features(fake=False) parses header dims + raster. Width is
+    the fixed raster width, height the padded ceil, mean_luma the true
+    raster mean (padding zeros included), n_bytes the exact container size;
+    corrupt containers and hostile declared dims raise ValueError."""
+    import numpy as np
+
+    from sketches_rust_spark.operators.multimodal import (
+        _decode_ppm,
+        decode_image_features,
+        encode_ppm_rgb,
+    )
+
+    media = synthetic_media(spark, 30)
+    img = media.where("kind = 'image'")
+    real = decode_image_features(encode_ppm_rgb(img), fake=False).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    raw = img.select("media_id", "payload").toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(real) == len(raw) > 0
+    for (_, r), (_, s) in zip(real.iterrows(), raw.iterrows()):
+        data = bytes(s["payload"])
+        h = max(1, -(-len(data) // 192))
+        assert (r["width"], r["height"]) == (64, h)
+        padded = np.frombuffer(data.ljust(64 * h * 3, b"\0"), dtype=np.uint8)
+        assert abs(r["mean_luma"] - padded.mean() / 255.0) < 1e-12
+        header = len(f"P6\n64 {h}\n255\n")
+        assert r["n_bytes"] == header + 64 * h * 3
+
+    # malformed containers raise cleanly; hostile dims never allocate
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P5\n2 2\n255\n" + b"\0" * 12)   # wrong magic
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 12)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n999999999 999999999\n255\nxyz")  # declared >> actual
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n255\n" + b"\0" * 11)    # short raster
+
+    # the FAKE image path stays pinned by its own DuckDB oracle
+    import duckdb
+
+    from sketches_rust_spark.operators.multimodal import (
+        image_features_oracle_sql,
+        media_from_documents,
+    )
+    # oracle domain matches the documents fixture: texts >= 16 bytes (the
+    # s16 window sum is NULL-degenerate below that)
+    docs = spark.createDataFrame(
+        [(i, "xy" * (i * 37 % 150 + 8)) for i in range(40)],
+        "doc_id long, text string")
+    got = decode_image_features(media_from_documents(docs), fake=True) \
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs_df", docs.toPandas())
+    want = con.execute(image_features_oracle_sql("docs_df")
+                       + " ORDER BY media_id").df()
+    assert list(got["width"]) == list(want["width"])
+    assert list(got["height"]) == list(want["height"])
+    assert np.allclose(got["mean_luma"].round(9), want["mean_luma"])
+
+
 def test_real_wav_codec_round_trip(spark):
     """The REAL audio codec: encode_wav_pcm8 writes genuine RIFF/WAVE
     containers, decode_audio_features(fake=False) demuxes them with stdlib
