@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 # so redaction deliberately over-matches there (safe direction for PII).
 # phone is the NANP-ish 3-3-4 shape only; international formats
 # (+44 20 7946 0958) are out of scope and pass through un-redacted.
-_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+# leading zeros allowed (a real IP renders as 192.168.001.100 in padded
+# logs); the VALUE is still range-checked to 0-255
+_OCTET = r"0*(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_KINDS: list[tuple[str, str, str]] = [
     ("url", r"https?://[^\s]+", "[URL]"),
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+(\.[a-zA-Z0-9-]+)+", "[EMAIL]"),

@@ -1705,7 +1705,10 @@ def curation_windows_surface_query(pack_q, chunk_q):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = pack_q(spark, sf_dir).select(
             F.lit("pack").alias("src"),
-            F.concat_ws(":", F.col("lang"),
+            # coalesce on BOTH sides (oracle uses the same): concat_ws
+            # SKIPS null args while SQL || propagates NULL — a NULL lang
+            # would silently diverge the keys otherwise
+            F.concat_ws(":", F.coalesce(F.col("lang"), F.lit("")),
                         F.col("chunk").cast("string")).alias("key"),
             F.col("n_docs").cast("bigint").alias("m1"),
             F.col("sum_tokens").cast("bigint").alias("m2"),
@@ -1724,7 +1727,7 @@ def curation_windows_surface_oracle_sql(pack_sql: str,
                                         chunk_sql: str) -> str:
     return f"""
 WITH sub_p AS ({pack_sql}), sub_c AS ({chunk_sql})
-SELECT 'pack' AS src, lang || ':' || CAST(chunk AS VARCHAR) AS key,
+SELECT 'pack' AS src, coalesce(lang, '') || ':' || CAST(chunk AS VARCHAR) AS key,
        CAST(n_docs AS BIGINT) AS m1, CAST(sum_tokens AS BIGINT) AS m2,
        CAST(-1 AS BIGINT) AS m3 FROM sub_p
 UNION ALL

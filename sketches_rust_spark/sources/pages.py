@@ -97,8 +97,15 @@ def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = 2_048
     scan splits). At crawl scale the same rule holds per 128 MB-1 GB row
     group inside many files — the layout a real writer produces."""
     done_marker = os.path.join(path, "_DONE")
+    # marker encodes the LAYOUT, not just the row count: a cache written by
+    # an older default must regenerate, or the scan-parallelism fix
+    # silently doesn't apply on machines with a pre-existing fixture
+    marker_want = f"{num_rows}:rg{row_group_rows}"
     if os.path.exists(done_marker):
-        return path
+        with open(done_marker) as f:
+            if f.read().strip() == marker_want:
+                return path
+        os.remove(done_marker)  # stale layout -> rewrite below
     os.makedirs(path, exist_ok=True)
     schema = pa.schema([
         pa.field("url", pa.string()),
@@ -124,7 +131,7 @@ def generate_pages_parquet(path: str, num_rows: int, row_group_rows: int = 2_048
             writer.write_table(pa.Table.from_batches([batch]),
                                row_group_size=row_group_rows)
     with open(done_marker, "w") as f:
-        f.write(str(num_rows))
+        f.write(marker_want)
     return path
 
 

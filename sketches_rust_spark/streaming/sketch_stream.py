@@ -195,22 +195,31 @@ def stateful_sketch_stream_with_event_time_eviction(
     The stream gains ``withWatermark(ts_col, watermark)`` here — late rows
     beyond ``watermark`` are subject to the engine's late-data handling, and
     the watermark only advances as data arrives (no data => no eviction, by
-    design: an idle SOURCE must not decay state during an outage)."""
-    def arm(state: GroupState, batch_max_ts) -> None:
+    design: an idle SOURCE must not decay state during an outage).
+
+    Epoch milliseconds are computed JVM-side (``unix_millis``) BEFORE the
+    Python stage: applyInPandasWithState hands pandas the timestamp column
+    localized to spark.sql.session.timeZone and tz-STRIPPED, so converting
+    it to epoch in Python would shift every deadline by the session-tz
+    offset against the UTC watermark (evicting everything immediately at
+    UTC-8, or retaining hours too long at UTC+2). An int64 column has no
+    timezone to get wrong."""
+    def arm(state: GroupState, batch_max_ms) -> None:
         wm = state.getCurrentWatermarkMs()
-        if batch_max_ts is not None:
-            event_ms = int(pd.Timestamp(batch_max_ts).value // 1_000_000)
+        if batch_max_ms is not None:
             # Spark rejects a timeout timestamp <= current watermark; a
             # batch can legitimately carry only late rows for this key
-            state.setTimeoutTimestamp(max(event_ms + idle_gap_ms, wm + 1))
+            state.setTimeoutTimestamp(max(int(batch_max_ms) + idle_gap_ms,
+                                          wm + 1))
         else:
             state.setTimeoutTimestamp(max(wm, 0) + idle_gap_ms)
 
     return (stream_df
             .withWatermark(ts_col, watermark)
+            .withColumn("_evt_ms", F.unix_millis(F.col(ts_col)))
             .groupBy(F.col(key))
             .applyInPandasWithState(
-                _eviction_update(value_col, config, quantile, ts_col, arm),
+                _eviction_update(value_col, config, quantile, "_evt_ms", arm),
                 outputStructType=_EVICT_OUT_SCHEMA,
                 stateStructType=_EVICT_STATE_SCHEMA,
                 outputMode="update",
@@ -231,9 +240,10 @@ def _eviction_update(value_col: str, config: SketchConfig, quantile: float,
                      ts_col: str | None, arm):
     """Shared applyInPandasWithState update for the two eviction variants;
     ``arm(state, batch_max_ts)`` sets the next timeout (wall-clock duration,
-    ignoring the timestamp; or watermark-relative event-time timestamp).
-    Chunks are consumed streamingly — only the running max timestamp is
-    tracked, never the buffered batch."""
+    ignoring the timestamp; or watermark-relative event-time deadline from
+    the batch max of ``ts_col`` — an int64 epoch-ms column, see
+    stateful_sketch_stream_with_event_time_eviction). Chunks are consumed
+    streamingly — only the running max is tracked, never a buffered batch."""
     def update(key_tuple, pdf_iter, state: GroupState):
         import numpy as np
         if state.hasTimedOut:

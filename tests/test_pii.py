@@ -30,6 +30,9 @@ _CASES = [
     ("bogus 999.999.999.999 here", "bogus 999.999.999.999 here", 0, 0, 0, 0),
     ("edge 255.255.255.255 and 256.1.1.1",
      "edge [IP] and 256.1.1.1", 0, 0, 1, 0),
+    # zero-padded octets are how real IPs render in padded logs
+    ("padded 192.168.001.100 and 010.020.030.000",
+     "padded [IP] and [IP]", 0, 0, 2, 0),
     ("", "", 0, 0, 0, 0),
 ]
 

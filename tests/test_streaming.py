@@ -165,7 +165,14 @@ def test_event_time_eviction_is_watermark_driven(spark, tmp_path):
                                         watermark passes k2's T0+35s
                                         deadline -> k2 evicted again
     (watermark delay 2 s, idle gap 5 s; no eviction ever fires from wall
-    clock — the test never sleeps for eviction, only polls the sink)."""
+    clock — the test never sleeps for eviction, only polls the sink).
+
+    Runs with a NON-UTC session timezone: applyInPandasWithState hands
+    pandas session-tz-localized tz-stripped timestamps, so a Python-side
+    epoch conversion would shift every deadline by the tz offset against
+    the UTC watermark (at UTC-4 every key would be evicted on the next
+    watermark advance). The operator computes epoch ms JVM-side; this test
+    is red if that regresses."""
     import time
     from datetime import datetime, timedelta
 
@@ -176,6 +183,8 @@ def test_event_time_eviction_is_watermark_driven(spark, tmp_path):
     sink = str(tmp_path / "sink")
     os.makedirs(src)
     t0 = datetime(2025, 6, 1, 0, 0, 0)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
 
     def write_file(rows_at):  # [(key, n_rows, offset_s)]
         rows = [(k, float(i), t0 + timedelta(seconds=off))
@@ -229,6 +238,7 @@ def test_event_time_eviction_is_watermark_driven(spark, tmp_path):
         assert ("k1", False, 13.0) not in all_rows
     finally:
         q.stop()
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
 def test_stateful_eviction_bounds_state_and_reinitializes(spark, tmp_path):
