@@ -196,7 +196,9 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFra
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        shingles: DataFrame | None = None,
+                        materialize: bool = False) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold via shared-shingle join.
 
     max_shingle_df: doc-frequency cap — shingles appearing in more than this
@@ -207,8 +209,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     docs means 10^12 join rows without the cap; a shingle shared by more
     than N documents carries no near-dup signal anyway. None = exact
     (the verification configuration for the approximate methods — test
-    scale only)."""
-    sh = shingle_hashes(df, id_col, text_col, shingle_k)
+    scale only).
+
+    shingles: precomputed (_id, h) per-doc-distinct shingle table (e.g. a
+    checkpointed shingle_hashes output shared by several configs).
+    materialize: localCheckpoint the (possibly df-capped) shingle table
+    before its three uses below (sizes + both self-join sides) — without it
+    each use re-derives the explode+distinct pipeline."""
+    sh = (shingles if shingles is not None
+          else shingle_hashes(df, id_col, text_col, shingle_k))
     if max_shingle_df is not None:
         # annotate each (doc, shingle) row with the shingle's doc frequency
         # via a window over h: ONE shuffle keyed by h (which the self-join
@@ -219,6 +228,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sh = (sh.withColumn("_df", dfreq)
               .where(F.col("_df") <= max_shingle_df)
               .drop("_df"))
+    if materialize:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -254,17 +265,28 @@ def contamination_pairs(corpus: DataFrame, evalset: DataFrame,
     stop-shingle present in many eval items multiplies every matching
     corpus row by its eval fan-out; rare shingles carry the leakage
     signal). Cheap — computed on the small side before broadcast."""
-    c_sh = shingle_hashes(corpus, corpus_id, text_col, shingle_k)
+    # corpus side stays RAW (duplicate shingles per doc kept): the per-doc
+    # dedup a shingle_hashes().distinct() would do is a full shuffle of
+    # every corpus (doc, h) pair — including the overwhelming majority that
+    # match nothing. Instead the broadcast join filters FIRST and the
+    # per-(doc, item) distinct-shingle count dedups after, so the only
+    # exchange carries matched triples (partial-deduped map-side by the
+    # count-distinct partial aggregate). Same n_common by definition:
+    # count(DISTINCT h) over matches == count over per-doc-distinct matches.
+    c_sh = (corpus.select(F.col(corpus_id).alias("doc_id"),
+                          F.explode(_shingles(F.col(text_col), shingle_k))
+                          .alias("_sh"))
+            .select("doc_id", _base_hash(F.col("_sh")).alias("h")))
     e_sh = shingle_hashes(evalset, eval_id, text_col, shingle_k)
     if max_eval_df is not None:
         from pyspark.sql import Window
         dfreq = F.count(F.lit(1)).over(Window.partitionBy("h"))
         e_sh = (e_sh.withColumn("_df", dfreq)
                 .where(F.col("_df") <= max_eval_df).drop("_df"))
-    joined = c_sh.withColumnRenamed("_id", "doc_id").join(
+    joined = c_sh.join(
         F.broadcast(e_sh.withColumnRenamed("_id", "item_id")), "h")
     return (joined.groupBy("doc_id", "item_id")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(F.countDistinct("h").alias("n_common"))
             .where(F.col("n_common") >= min_common))
 
 
@@ -361,6 +383,15 @@ def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
     Hamming filter: (id_a, id_b, sh_a, sh_b). Exposed separately so the
     candidate waste of a blocking configuration (candidates per true pair —
     THE knob-tuning metric at scale) is directly measurable."""
+    # materialize the signatures before the self-join: both join sides (and
+    # the combo-key explode feeding each) otherwise re-derive the FULL
+    # signature pipeline — text tokenize -> collect_set aggregate -> Python
+    # bit-vote stage — once per side. The checkpoint is 16 bytes/doc (the
+    # same table the incremental path persists to parquet). Interleaved A/B
+    # at sf0.1/local[32], 4 rounds each: pairs median 4.47 s vs 5.10 s and
+    # keep_canonical 5.83 s vs 6.88 s in favor of the checkpoint — and at
+    # scale it halves the dominant CPU cost (one signature pass, not two).
+    signatures = signatures.localCheckpoint()
     keyed, packable = _simhash_combo_keyed(signatures, max_hamming, n_blocks)
     a, b = keyed.alias("a"), keyed.alias("b")
     same_key = (F.col("a.v") == F.col("b.v")) if packable else (
@@ -567,6 +598,19 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
     labels = (e2.select(F.col("src").alias("_id")).distinct()
               .withColumn("cluster", F.col("_id"))).localCheckpoint()
     changed = labels.count()  # nonzero iff any contracted edges remain
+    # scale-adaptive loop parallelism: every round's joins/aggregates touch
+    # only the CONTRACTED graph, whose node count we just measured — size
+    # the loop's partitioning from it (~1M nodes/partition) instead of
+    # inheriting the scan-sized session shuffle partitioning. On a
+    # clique-heavy near-dup graph the contracted remainder is tiny (3.7k
+    # edges at sf0.1) and the loop's cost is per-round fixed overhead:
+    # measured 6.9 s -> ~4 s for the full clusters build with this coalesce.
+    # At web scale (10^9+ contracted nodes) the derived count grows
+    # proportionally, so no round is ever single-task when the data is big.
+    loop_parts = max(1, -(-changed // 1_000_000))
+    if loop_parts < e2.rdd.getNumPartitions():
+        e2 = e2.coalesce(loop_parts)
+    labels = labels.coalesce(loop_parts)
     for _ in range(max_iters):
         if changed == 0:
             break
@@ -582,7 +626,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
                               F.least("cluster", "nmin", "_jc").alias("cluster"),
                               (F.least("nmin", "_jc") < F.col("cluster")
                                ).alias("_chg"))
-                      ).localCheckpoint()
+                      ).coalesce(loop_parts).localCheckpoint()
         changed = new_labels.where(F.col("_chg")).count()
         if stats is not None:
             stats["changed_per_round"].append(changed)

@@ -754,7 +754,8 @@ def streaming_quantile_query(table: str, value_expr: str, key: str,
         import tempfile
 
         from ..streaming.sketch_stream import (
-            merged_stream_result, stream_sketch_partials)
+            merged_stream_result, scoped_shuffle_partitions,
+            stream_sketch_partials, stream_state_partitions)
 
         base = tempfile.mkdtemp(prefix="sketch_stream_q_")
         in_dir, sink, ckpt = f"{base}/in", f"{base}/sink", f"{base}/ckpt"
@@ -764,8 +765,13 @@ def streaming_quantile_query(table: str, value_expr: str, key: str,
         df.repartition(n_files).write.mode("overwrite").parquet(in_dir)
         stream = (spark.readStream.schema(df.schema)
                   .option("maxFilesPerTrigger", 1).parquet(in_dir))
-        q = stream_sketch_partials(stream, "_v", [key], cfg, sink, ckpt)
-        q.awaitTermination()
+        # micro-batch-sized shuffle partitions for the replay (the session
+        # value is scan-sized; see stream_state_partitions) — results are
+        # partition-count-invariant (deterministic per-batch histograms)
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(in_dir, n_files)):
+            q = stream_sketch_partials(stream, "_v", [key], cfg, sink, ckpt)
+            q.awaitTermination()
         # staged input + checkpoint are no longer needed once the stream has
         # drained; the SINK must outlive this call (the returned DataFrame
         # reads it lazily on the caller's action)
@@ -799,7 +805,9 @@ def stateful_streaming_query(table: str, value_expr: str, key: str,
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
-        from ..streaming.sketch_stream import stateful_sketch_stream
+        from ..streaming.sketch_stream import (
+            scoped_shuffle_partitions, stateful_sketch_stream,
+            stream_state_partitions)
 
         base = tempfile.mkdtemp(prefix="sketch_stateful_q_")
         in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
@@ -812,11 +820,15 @@ def stateful_streaming_query(table: str, value_expr: str, key: str,
         running = stateful_sketch_stream(stream, "_v", key, cfg,
                                          quantile=quantile)
         sink_name = f"stateful_sketch_{abs(hash(base)) % (1 << 30)}"
-        q = (running.writeStream.format("memory").queryName(sink_name)
-             .outputMode("update")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        # micro-batch-sized state-store partition count (the per-key sketch
+        # state is order-insensitive, so the result is partition-invariant)
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(in_dir, n_files)):
+            q = (running.writeStream.format("memory").queryName(sink_name)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         import shutil
         shutil.rmtree(base, ignore_errors=True)
         # final state per key = the update row with the maximum count
@@ -867,7 +879,9 @@ def windowed_streaming_query(table: str, value_expr: str, key: str,
         import tempfile
 
         from ..functions.ddsketch_sql import histogram_quantiles
-        from ..streaming.sketch_stream import windowed_sketch_histogram
+        from ..streaming.sketch_stream import (
+            scoped_shuffle_partitions, stream_state_partitions,
+            windowed_sketch_histogram)
 
         base = tempfile.mkdtemp(prefix="sketch_windowed_q_")
         in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
@@ -885,10 +899,14 @@ def windowed_streaming_query(table: str, value_expr: str, key: str,
             stream, "_v", [key], cfg, ts_col=ts_col,
             window_duration="1 day", watermark=watermark)
         sink = f"windowed_hist_{abs(hash(base)) % (1 << 30)}"
-        q = (hist_stream.writeStream.format("memory").queryName(sink)
-             .outputMode("update").option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        # micro-batch-sized state-store partition count (exact counts per
+        # histogram cell are partition-invariant)
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(in_dir, n_files)):
+            q = (hist_stream.writeStream.format("memory").queryName(sink)
+                 .outputMode("update").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         shutil.rmtree(base, ignore_errors=True)
         # final histogram = max count per cell (streaming counts only grow)
         final = (spark.table(sink)
@@ -1500,21 +1518,34 @@ GROUP BY b.lang
 """
 
 
-def dedup_jaccard_surface_query(uncapped_q, capped_q):
+def dedup_jaccard_surface_query(shingle_k: int = 3, threshold: float = 0.3,
+                                capped_df: int = 5):
     """Both exact n-gram Jaccard configs (uncapped verification config;
     df-capped scale path) in one long-format result — consolidation for
     the driver's 50-row cap; each sub-proof unchanged.
 
-    The two configs deliberately recompute the shingle explode instead of
-    sharing a persisted shingle table: measured at sf0.1 (3 warm runs
-    each), persist-and-reuse runs 4.2-5.2 s vs 3.8-4.7 s for the double
-    compute — materializing the exploded table costs more than the second
-    explode (same conclusion as the round-3 cache-vs-rescan measurement
-    at operators/queries.py's rank-check note)."""
+    The two configs share ONE materialized per-doc-distinct shingle table
+    (localCheckpoint), and each config's (possibly capped) table is
+    materialized before its three uses (sizes + both self-join sides).
+    Re-measured round 6 with interleaved A/B at sf0.1 (4 rounds each):
+    shared-checkpoint median 4.17 s vs 4.89 s recompute, min 3.73 vs 4.69 —
+    the round-3 persist()-based measurement that favored recompute does not
+    hold for localCheckpoint, whose read path skips the cache-storage
+    columnar round-trip. At scale the sharing also removes 4 of 6 shingle
+    explode passes over the corpus."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = uncapped_q(spark, sf_dir).select(
+        from .dedup import ngram_jaccard_pairs, shingle_hashes
+        docs = load(spark, sf_dir, "documents")
+        sh = shingle_hashes(docs, "doc_id", "text", shingle_k).localCheckpoint()
+        un = ngram_jaccard_pairs(docs, shingle_k=shingle_k,
+                                 threshold=threshold, shingles=sh)
+        cp = ngram_jaccard_pairs(docs, shingle_k=shingle_k,
+                                 threshold=threshold,
+                                 max_shingle_df=capped_df, shingles=sh,
+                                 materialize=True)
+        a = un.select(
             F.lit("uncapped").alias("variant"), "id_a", "id_b", "jaccard")
-        b = capped_q(spark, sf_dir).select(
+        b = cp.select(
             F.lit("capped").alias("variant"), "id_a", "id_b", "jaccard")
         return a.unionByName(b)
     return run
@@ -1840,9 +1871,10 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             bound=0.03)),
     "text_features_documents": text_features_query(),
     "dedup_exact_stats": exact_dup_stats_query(),
-    # both exact-Jaccard configs in one long-format result (50-row cap)
+    # both exact-Jaccard configs in one long-format result (50-row cap),
+    # sharing one checkpointed shingle table (see the builder docstring)
     "dedup_jaccard_surface": dedup_jaccard_surface_query(
-        ngram_jaccard_query(), ngram_jaccard_query(max_shingle_df=5)),
+        shingle_k=3, threshold=0.3, capped_df=5),
     # line-level boilerplate removal under a from-scratch SQL oracle
     "text_boilerplate_removal": boilerplate_removal_query(),
     "dedup_minhash_lsh_pairs": minhash_lsh_query(),
@@ -1853,15 +1885,22 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ann_lsh_query(_ANN_PROBES, k=10),
         ann_ivf_query(_ANN_PROBES, k=10, n_centroids=16, n_probe=4)),
     # both exact pruned top-k proofs, one long-format result (50-row cap)
+    # the multi-partition layout the pruning proof exercises is created
+    # AFTER projecting to the item column: repartition() round-robins whole
+    # rows, so repartitioning the full table would shuffle every column of
+    # documents/lineitem to then count one (guide §2.3 "project before the
+    # exchange"); the verified exact top-k is layout-invariant either way
     "topk_exact_surface": topk_exact_surface_query(
         (lambda spark, sf_dir: __import__(
             "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
-        ).topk_exact_pruned(load(spark, sf_dir, "documents").repartition(7),
-                            "lang", 5)),
+        ).topk_exact_pruned(
+            load(spark, sf_dir, "documents").select("lang").repartition(7),
+            "lang", 5)),
         (lambda spark, sf_dir: __import__(
             "sketches_rust_spark.operators.topk", fromlist=["topk_exact_pruned"]
-        ).topk_exact_pruned(load(spark, sf_dir, "lineitem").repartition(9),
-                            "l_partkey", 10, fudge=8))),
+        ).topk_exact_pruned(
+            load(spark, sf_dir, "lineitem").select("l_partkey").repartition(9),
+            "l_partkey", 10, fudge=8))),
     "dedup_simhash_near_pairs": simhash_pairs_query(max_hamming=3),
     "dedup_embedding_cosine_pairs": embedding_near_dup_query(
         threshold=0.4, nbits=6, dim=64),

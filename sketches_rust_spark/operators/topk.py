@@ -50,7 +50,10 @@ def _topk_round_plan(items: DataFrame, local: DataFrame, k: int,
     top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
            .withColumn("rank", F.row_number().over(wk).cast("long"))
            .select("item", "cnt", "rank"))
-    return top, bound
+    # one action per round instead of two: attach the scalar bound to every
+    # candidate row (broadcast of a 1-row aggregate), so the k result rows
+    # and the exactness bound arrive in a single collect
+    return top.crossJoin(F.broadcast(bound))
 
 
 def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
@@ -70,11 +73,11 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
     try:
         for round_ in range(max_rounds):
             limit = k * fudge * (2 ** round_)
-            top, bound = _topk_round_plan(items, local, k, limit)
-            cutoffs = bound.collect()[0]["b"]
-            # exactness proof: only the k result rows + the scalar bound
-            # cross to the driver
-            rows = top.collect()
+            top_with_bound = _topk_round_plan(items, local, k, limit)
+            # exactness proof: only the k result rows (each carrying the
+            # scalar bound) cross to the driver — ONE action per round
+            rows = top_with_bound.collect()
+            cutoffs = rows[0]["b"] if rows else 0
             kth = min((r["cnt"] for r in rows), default=0)
             # exact iff no partition hit the candidate limit (every item is a
             # candidate) or the k-th candidate strictly beats the best
@@ -85,7 +88,9 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
                 # caller's action, and a re-execution under different
                 # partitioning (AQE, changed parallelism) could produce a
                 # candidate set the proof above never covered
-                return df.sparkSession.createDataFrame(rows, top.schema)
+                out_schema = top_with_bound.drop("b").schema
+                return df.sparkSession.createDataFrame(
+                    [r[:-1] for r in rows], out_schema)
         raise RuntimeError("top-k candidate pruning failed to verify; "
                            "raise fudge/max_rounds")
     finally:

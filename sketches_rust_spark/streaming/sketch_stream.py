@@ -25,6 +25,7 @@ the batch two-level plan exact):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Sequence
 
 import pandas as pd
@@ -45,6 +46,50 @@ from pyspark.sql.types import (
 from ..functions.ddsketch_spark import SketchConfig, merge_partials
 from ..functions.ddsketch_sql import ddsketch_aggregate_sql
 from ..kernel.sketch import DDSketch
+
+
+def stream_state_partitions(staged_dir: str, n_batches: int) -> int:
+    """Scale-adaptive shuffle/state-store partition count for a streaming
+    replay over ``staged_dir``.
+
+    ``spark.sql.shuffle.partitions`` fixes the number of state-store
+    instances per stateful operator at first checkpoint, and AQE does NOT
+    coalesce stateful streaming shuffles — so a batch-oriented session value
+    (sized for table scans) makes every micro-batch pay that many state
+    commits + tasks regardless of batch size. Measured at sf0.1 / local[32]:
+    32 state partitions vs 8 is 5.0 s vs 2.8 s for the stateful query and
+    6.0 s vs 3.1 s for the windowed one — pure per-partition fixed cost, the
+    per-micro-batch data here being ~0.4 MB.
+
+    Sizing rule: one partition per ~64 MB of per-micro-batch input, floor 4
+    (parallelism for the non-stateful stages), no ceiling (a production
+    stream with GB-scale micro-batches derives a proportionally larger state
+    store). Override with $SKETCH_STREAM_SHUFFLE_PARTITIONS for deployments
+    where key cardinality, not bytes, should size the state store."""
+    env = os.environ.get("SKETCH_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    for root, _dirs, files in os.walk(staged_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    per_batch = total // max(1, n_batches)
+    return max(4, -(-per_batch // (64 << 20)))
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions (state-store sizing for
+    a streaming run); always restores the session value."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_sketch_partials(

@@ -58,7 +58,9 @@ def test_topk_exact_plan_has_no_global_window(spark, documents):
     items = documents.repartition(7).select(F.col("lang").alias("item"))
     local = (items.withColumn("_p", F.spark_partition_id())
              .groupBy("_p", "item").agg(F.count(F.lit(1)).alias("c")))
-    top, _ = _topk_round_plan(items, local, k=5, limit=20)
+    # single-return contract: top-k rows with the scalar exactness bound
+    # attached (one collect per pruning round instead of two)
+    top = _topk_round_plan(items, local, k=5, limit=20)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     for line in plan.splitlines():
