@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -184,6 +185,104 @@ def sketch_aggregate(
     if keys:
         return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
     return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(merge, schema=out_schema)
+
+
+def multi_family_aggregate(
+    df: DataFrame,
+    input_col,
+    keys: Sequence[str],
+    families: dict,
+) -> DataFrame:
+    """One-pass build of SEVERAL sketch families over the SAME scan.
+
+    ``families``: {name: (SketchAdapter, row_mask_Column_or_None)} — each
+    family sketches the rows its mask selects (None = all rows). Output:
+    (family, keys..., sketch, rows_in), one row per (family, group).
+
+    Shape rationale: N separate ``sketch_aggregate`` calls over one table
+    cost N scans and N Python partial stages; at 100 TB that is N passes
+    over the corpus for sketches that could share every batch. Here the
+    partial stage updates every family from each Arrow batch (masked
+    per-family), and the single blob-merge stage dispatches on the family
+    column. All supported kernels (HLL register-max, KMV bottom-k, CMS
+    counter adds, Bloom bit-OR, histogram adds) are order-insensitive, so
+    the per-family blobs equal the single-family build's byte-for-byte
+    (tested in tests/test_sibling_spark.py)."""
+    keys = list(keys)
+    col = F.col(input_col) if isinstance(input_col, str) else input_col
+    sel = [*keys, col.alias("_in")]
+    for name, (_ad, mask) in families.items():
+        sel.append((F.lit(True) if mask is None else mask).alias(f"_m_{name}"))
+    narrow = df.select(*sel).where(F.col("_in").isNotNull())
+    out_schema = StructType(
+        [StructField("family", StringType(), False)]
+        + _key_fields(narrow, keys)
+        + [StructField(SKETCH_COL, BinaryType(), False),
+           StructField(ROWS_COL, LongType(), False)]
+    )
+
+    # the partial closure must not capture `families` itself: the mask
+    # Columns are py4j objects and unpicklable — ship only the adapters
+    adapters = {name: ad for name, (ad, _mask) in families.items()}
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[tuple, object] = {}
+        rows: dict[tuple, int] = {}
+
+        def update(key: tuple, sub: pd.DataFrame) -> None:
+            for name, adapter in adapters.items():
+                m = sub[f"_m_{name}"].to_numpy(dtype=bool)
+                if not m.any():
+                    continue
+                fsub = sub if m.all() else sub[m]
+                k2 = (name, key)
+                sk = sketches.get(k2)
+                if sk is None:
+                    sk = sketches[k2] = adapter.new()
+                    rows[k2] = 0
+                adapter.update(sk, fsub)
+                rows[k2] += len(fsub)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not keys:
+                update((), pdf)
+                continue
+            codes, uniques = _factorize_keys(pdf, keys)
+            order = np.argsort(codes, kind="stable")
+            pdf = pdf.iloc[order]
+            sorted_codes = codes[order]
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sorted_codes)]))
+            for s, e in zip(starts, ends):
+                update(uniques[sorted_codes[s]], pdf.iloc[s:e])
+        if sketches:
+            records = [
+                {"family": name} | dict(zip(keys, key))
+                | {SKETCH_COL: sk.encode(), ROWS_COL: rows[(name, key)]}
+                for (name, key), sk in sketches.items()
+            ]
+            yield pd.DataFrame(
+                records, columns=["family"] + keys + [SKETCH_COL, ROWS_COL])
+
+    partials = narrow.mapInPandas(partial, schema=out_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        name = pdf["family"].iloc[0]
+        adapter = adapters[name]
+        sk = adapter.new()
+        for blob in pdf[SKETCH_COL]:
+            adapter.decode_and_merge(sk, bytes(blob))
+        head = {"family": name} | {k: pdf[k].iloc[0] for k in keys}
+        head[SKETCH_COL] = sk.encode()
+        head[ROWS_COL] = int(pdf[ROWS_COL].sum())
+        return pd.DataFrame(
+            [head], columns=["family"] + keys + [SKETCH_COL, ROWS_COL])
+
+    return partials.groupBy("family", *keys).applyInPandas(
+        merge, schema=out_schema)
 
 
 # -- extraction UDFs ----------------------------------------------------------

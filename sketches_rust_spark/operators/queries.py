@@ -112,28 +112,6 @@ def hll_query(table: str, id_expr: str, groups: list[str], p: int = 14):
     return run
 
 
-def hll_union_sql_query(table: str, id_expr: str, group_col: str,
-                        group_vals: list[str], p: int = 14):
-    """Union cardinality via the SQL merge surface: per-group HLL sketches
-    merged with the registered ``hll_merge`` GROUPED_AGG UDF inside
-    spark.sql — the 'blobs mergeable in SQL' contract under a hard oracle
-    (HLL union register-equals a build over the unioned data)."""
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.sketch_udafs import (
-            hll_adapter, register_sibling_sql, sketch_aggregate)
-        register_sibling_sql(spark, hll_p=p)
-        df = (load(spark, sf_dir, table)
-              .where(F.col(group_col).isin(group_vals))
-              .select(F.col(group_col).alias("_g"),
-                      F.expr(id_expr).cast("long").alias("_id")))
-        parts = sketch_aggregate(df, "_id", ["_g"],
-                                 hll_adapter(p=p, hash_mode="splitmix"))
-        parts.createOrReplaceTempView("hll_union_parts")
-        return spark.sql(
-            "SELECT round(hll_estimate(hll_merge(sketch)), 2) AS est "
-            "FROM hll_union_parts")
-    return run
-
 
 def kmv_query(table: str, id_expr: str, groups: list[str], k: int = 256):
     """KMV / bottom-k theta sketch distinct estimate per group — the
@@ -203,78 +181,7 @@ def kmv_difference_query(table: str, id_expr: str, group_col: str,
     return run
 
 
-def kmv_union_sql_query(table: str, id_expr: str, group_col: str,
-                        group_vals: list[str], k: int = 256):
-    """KMV merge through the SQL surface (mirrors hll/cms/bloom union
-    queries): per-group sketches merged with the registered ``kmv_merge``
-    GROUPED_AGG UDF in spark.sql; bottom-k mergeability makes the union
-    sketch equal a build over the unioned rows, so the plain KMV oracle
-    over the restricted table pins it."""
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.sketch_udafs import (
-            kmv_adapter, register_sibling_sql, sketch_aggregate)
-        register_sibling_sql(spark, kmv_k=k)
-        df = (load(spark, sf_dir, table)
-              .where(F.col(group_col).isin(group_vals))
-              .select(F.col(group_col).alias("_g"),
-                      F.expr(id_expr).cast("long").alias("_id")))
-        parts = sketch_aggregate(df, "_id", ["_g"],
-                                 kmv_adapter(k, hash_mode="splitmix"))
-        parts.createOrReplaceTempView("kmv_union_parts")
-        return spark.sql(
-            "SELECT round(kmv_estimate(kmv_merge(sketch)), 2) AS est "
-            "FROM kmv_union_parts")
-    return run
 
-
-def cms_union_sql_query(table: str, id_expr: str, group_col: str,
-                        probes: list[int], depth: int = 5, width: int = 4096):
-    """CMS merge through the SQL surface: per-group CMS partials as a temp
-    view, merged with the registered ``cms_merge`` GROUPED_AGG UDF inside
-    spark.sql, then point-probed. Counter additivity makes the merged CMS
-    equal a build over the unioned rows — the exact counter-replica oracle
-    therefore pins the SQL merge path end-to-end."""
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.sketch_udafs import (
-            cms_adapter, register_sibling_sql, sketch_aggregate)
-        register_sibling_sql(spark, cms_depth=depth, cms_width=width)
-        df = load(spark, sf_dir, table).select(
-            F.col(group_col).alias("_g"),
-            F.expr(id_expr).cast("long").alias("_id"))
-        parts = sketch_aggregate(df, "_id", ["_g"],
-                                 cms_adapter(depth, width, "splitmix"))
-        parts.createOrReplaceTempView("cms_union_parts")
-        _probe_df(spark, probes).createOrReplaceTempView("cms_union_probes")
-        return spark.sql(
-            "SELECT p.probe, cms_point_estimate(m.sk, p._h) AS est "
-            "FROM (SELECT cms_merge(sketch) AS sk FROM cms_union_parts) m "
-            "CROSS JOIN cms_union_probes p")
-    return run
-
-
-def bloom_union_sql_query(table: str, id_expr: str, group_col: str,
-                          group_vals: list[str], probes: list[int],
-                          m_bits: int = 1 << 18, k: int = 7):
-    """Bloom merge through the SQL surface: per-group bitsets OR-merged with
-    the registered ``bloom_merge`` UDF in spark.sql (bitset OR == bloom of
-    the unioned rows), membership-probed; bit-position-identical oracle."""
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..functions.sketch_udafs import (
-            bloom_adapter, register_sibling_sql, sketch_aggregate)
-        register_sibling_sql(spark, bloom_m=m_bits, bloom_k=k)
-        df = (load(spark, sf_dir, table)
-              .where(F.col(group_col).isin(group_vals))
-              .select(F.col(group_col).alias("_g"),
-                      F.expr(id_expr).cast("long").alias("_id")))
-        parts = sketch_aggregate(df, "_id", ["_g"],
-                                 bloom_adapter(m_bits, k, "splitmix"))
-        parts.createOrReplaceTempView("bloom_union_parts")
-        _probe_df(spark, probes).createOrReplaceTempView("bloom_union_probes")
-        return spark.sql(
-            "SELECT p.probe, bloom_might_contain(m.sk, p._h) AS member "
-            "FROM (SELECT bloom_merge(sketch) AS sk FROM bloom_union_parts) m "
-            "CROSS JOIN bloom_union_probes p")
-    return run
 
 
 def ddsketch_sql_surface_query(table: str, value_expr: str, group_col: str,
@@ -961,15 +868,6 @@ def exact_dup_stats_query():
     return run
 
 
-def ngram_jaccard_query(shingle_k: int = 3, threshold: float = 0.3,
-                        max_shingle_df: int | None = None):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .dedup import ngram_jaccard_pairs
-        return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
-                                   shingle_k=shingle_k, threshold=threshold,
-                                   max_shingle_df=max_shingle_df)
-    return run
-
 
 def minhash_lsh_query(num_perm: int = 16, shingle_k: int = 3,
                       bands: int = 8, rows_per_band: int = 2,
@@ -1234,26 +1132,79 @@ FROM sub_resize
 """
 
 
-def sketch_sql_union_surface_query(hll_q, kmv_q, cms_q, bloom_q):
+def sketch_sql_union_surface_query(table: str, id_expr: str, group_col: str,
+                                   group_vals: list[str],
+                                   cms_probes: list[int],
+                                   bloom_probes: list[int],
+                                   hll_p: int = 14, kmv_k: int = 256,
+                                   cms_depth: int = 5, cms_width: int = 2048,
+                                   bloom_m: int = 1 << 17, bloom_k: int = 5):
     """The four sibling-sketch SQL-merge-surface proofs (hll/kmv/cms/bloom
     blobs merged through the registered GROUPED_AGG UDFs inside spark.sql)
     in ONE long-format result — consolidation for the driver's 50-row
-    correctness cap (see multimodal_all_query). Each sub-proof is unchanged;
-    scalar estimates carry probe = -1."""
+    correctness cap (see multimodal_all_query). Each sub-proof's SQL merge
+    is unchanged; scalar estimates carry probe = -1.
+
+    Round 6: the four per-family partial builds share ONE scan + ONE Python
+    partial stage (multi_family_aggregate) instead of four of each — the
+    per-(family, group) blobs are byte-identical to the per-family builds
+    (order-insensitive kernels, blob equality pinned in
+    tests/test_sibling_spark.py), and the materialized partials table
+    (localCheckpoint; one tiny row per family x group) feeds the four temp
+    views so the four spark.sql merges don't re-run the build."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        h = hll_q(spark, sf_dir).select(
-            F.lit("hll").alias("sketch"), F.lit(-1).cast("long").alias("probe"),
-            F.col("est").cast("double").alias("val"))
-        k = kmv_q(spark, sf_dir).select(
-            F.lit("kmv").alias("sketch"), F.lit(-1).cast("long").alias("probe"),
-            F.col("est").cast("double").alias("val"))
-        c = cms_q(spark, sf_dir).select(
-            F.lit("cms").alias("sketch"), F.col("probe").cast("long").alias("probe"),
-            F.col("est").cast("double").alias("val"))
-        b = bloom_q(spark, sf_dir).select(
-            F.lit("bloom").alias("sketch"), F.col("probe").cast("long").alias("probe"),
-            F.when(F.col("member"), 1.0).otherwise(0.0).alias("val"))
-        return h.unionByName(k).unionByName(c).unionByName(b)
+        from ..functions.sketch_udafs import (
+            bloom_adapter, cms_adapter, hll_adapter, kmv_adapter,
+            multi_family_aggregate, register_sibling_sql)
+        register_sibling_sql(spark, hll_p=hll_p, kmv_k=kmv_k,
+                             cms_depth=cms_depth, cms_width=cms_width,
+                             bloom_m=bloom_m, bloom_k=bloom_k)
+        ev = load(spark, sf_dir, table).select(
+            F.col(group_col).alias("_g"),
+            F.expr(id_expr).cast("long").alias("_id"))
+        restricted = F.col("_g").isin(group_vals)
+        fams = {
+            "hll": (hll_adapter(p=hll_p, hash_mode="splitmix"), restricted),
+            "kmv": (kmv_adapter(kmv_k, hash_mode="splitmix"), restricted),
+            "cms": (cms_adapter(cms_depth, cms_width, "splitmix"), None),
+            "bloom": (bloom_adapter(bloom_m, bloom_k, "splitmix"), restricted),
+        }
+        parts = multi_family_aggregate(ev, "_id", ["_g"], fams).localCheckpoint()
+        for fam in ("hll", "kmv", "cms", "bloom"):
+            (parts.where(F.col("family") == fam).drop("family")
+             .createOrReplaceTempView(f"{fam}_union_parts"))
+        h = spark.sql(
+            "SELECT round(hll_estimate(hll_merge(sketch)), 2) AS est "
+            "FROM hll_union_parts")
+        k = spark.sql(
+            "SELECT round(kmv_estimate(kmv_merge(sketch)), 2) AS est "
+            "FROM kmv_union_parts")
+        _probe_df(spark, cms_probes).createOrReplaceTempView("cms_union_probes")
+        c = spark.sql(
+            "SELECT p.probe, cms_point_estimate(m.sk, p._h) AS est "
+            "FROM (SELECT cms_merge(sketch) AS sk FROM cms_union_parts) m "
+            "CROSS JOIN cms_union_probes p")
+        _probe_df(spark, bloom_probes).createOrReplaceTempView("bloom_union_probes")
+        b = spark.sql(
+            "SELECT p.probe, bloom_might_contain(m.sk, p._h) AS member "
+            "FROM (SELECT bloom_merge(sketch) AS sk FROM bloom_union_parts) m "
+            "CROSS JOIN bloom_union_probes p")
+        return (
+            h.select(F.lit("hll").alias("sketch"),
+                     F.lit(-1).cast("long").alias("probe"),
+                     F.col("est").cast("double").alias("val"))
+            .unionByName(k.select(
+                F.lit("kmv").alias("sketch"),
+                F.lit(-1).cast("long").alias("probe"),
+                F.col("est").cast("double").alias("val")))
+            .unionByName(c.select(
+                F.lit("cms").alias("sketch"),
+                F.col("probe").cast("long").alias("probe"),
+                F.col("est").cast("double").alias("val")))
+            .unionByName(b.select(
+                F.lit("bloom").alias("sketch"),
+                F.col("probe").cast("long").alias("probe"),
+                F.when(F.col("member"), 1.0).otherwise(0.0).alias("val"))))
     return run
 
 
@@ -1419,19 +1370,43 @@ def pages_host_quantile_oracle_sql(quantiles: dict[str, float],
                                         quantiles, alpha)
 
 
-def kmv_surface_query(by_type_q, common_q, diff_q):
+def kmv_surface_query(table: str, id_expr: str, group_col: str,
+                      group_a: str, group_b: str, diff_q, k: int = 256):
     """All three KMV/theta proofs (per-group distinct, set intersection,
     set difference) in one long-format result — consolidation for the
-    driver's 50-row correctness cap; each sub-proof unchanged."""
+    driver's 50-row correctness cap; each sub-proof unchanged.
+
+    Round 6: the per-group distinct proof and the intersection proof derive
+    from the SAME per-group sketch build (one scan + one Python partial
+    stage instead of two): the per-group KMV sketches of ``group_a`` /
+    ``group_b`` are identical whether or not the other groups' rows were
+    pre-filtered away — grouping already routes them elsewhere — so the
+    intersection of the two groups' blobs from the shared build is the
+    same blob-level computation the standalone proof ran."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = by_type_q(spark, sf_dir).select(
+        from ..functions.sketch_udafs import (
+            kmv_adapter, kmv_estimate, kmv_intersection, sketch_aggregate)
+        df = load(spark, sf_dir, table).select(
+            F.col(group_col).alias("_g"),
+            F.expr(id_expr).cast("long").alias("_id"))
+        agg = sketch_aggregate(df, "_id", ["_g"],
+                               kmv_adapter(k, hash_mode="splitmix"))
+        # one tiny row per group; materialized once, read by both proofs
+        agg = agg.localCheckpoint()
+        a = agg.select(
             F.lit("by_event_type").alias("proof"),
-            F.col("event_type").alias("key"),
-            F.col("est").cast("double").alias("est"))
-        b = common_q(spark, sf_dir).select(
+            F.col("_g").alias("key"),
+            F.round(kmv_estimate("sketch"), 2).cast("double").alias("est"))
+        both = agg.agg(
+            F.first(F.when(F.col("_g") == group_a, F.col("sketch")),
+                    ignorenulls=True).alias("_sa"),
+            F.first(F.when(F.col("_g") == group_b, F.col("sketch")),
+                    ignorenulls=True).alias("_sb"))
+        b = both.select(
             F.lit("common_users_purchase_click").alias("proof"),
             F.lit("-").alias("key"),
-            F.col("est_common").cast("double").alias("est"))
+            F.round(kmv_intersection("_sa", "_sb"), 2)
+             .cast("double").alias("est"))
         c = diff_q(spark, sf_dir).select(
             F.lit("diff_orderkeys_r_not_n").alias("proof"),
             F.lit("-").alias("key"),
@@ -1821,17 +1796,13 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events", "value", "event_type", "ts", {"p50": 0.5, "p99": 0.99}),
     "hll_users_by_event_type": hll_query("events", "user_id", ["event_type"], p=14),
     # all four sibling SQL-merge-surface proofs in one long-format result
-    # (driver records at most 50 correctness rows; see multimodal_all_query)
+    # (driver records at most 50 correctness rows; see multimodal_all_query);
+    # the partial builds share one scan + one Python stage (round 6)
     "sketch_sql_union_surface": sketch_sql_union_surface_query(
-        hll_union_sql_query("events", "user_id", "event_type",
-                            ["purchase", "click"], p=14),
-        kmv_union_sql_query("events", "user_id", "event_type",
-                            ["purchase", "click"], k=256),
-        cms_union_sql_query("events", "user_id", "event_type",
-                            _CMS_PROBES, depth=5, width=2048),
-        bloom_union_sql_query("events", "user_id", "event_type",
-                              ["purchase", "click"], _BLOOM_PROBES,
-                              m_bits=1 << 17, k=5)),
+        "events", "user_id", "event_type", ["purchase", "click"],
+        _CMS_PROBES, _BLOOM_PROBES,
+        hll_p=14, kmv_k=256, cms_depth=5, cms_width=2048,
+        bloom_m=1 << 17, bloom_k=5),
     "ddsketch_sql_surface_quantiles": ddsketch_sql_surface_query(
         "documents", "length(text)", "lang", {"p50": 0.5, "p99": 0.99}),
     "hll_partkeys_by_returnflag": hll_query(
@@ -1842,11 +1813,10 @@ DDSKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # non-degenerate difference (user_id x event_type pairs all overlap
     # fully in this fixture, so they'd pin nothing)
     "kmv_surface": kmv_surface_query(
-        kmv_query("events", "user_id", ["event_type"], k=256),
-        kmv_intersection_query(
-            "events", "user_id", "event_type", "purchase", "click", k=256),
+        "events", "user_id", "event_type", "purchase", "click",
         kmv_difference_query(
-            "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256)),
+            "lineitem", "l_orderkey", "l_returnflag", "R", "N", k=256),
+        k=256),
     # north-star skew story on the input_hint shape: per-url-host sketch
     # over pages on the JVM histogram path, whose map-side combine absorbs
     # the hot host natively (see the builder docstring for why not salting)

@@ -155,3 +155,41 @@ def test_kmv_distinct_and_intersection_vs_exact(spark, events):
                    .count())
     if true_common:
         assert abs(est - true_common) / true_common < 0.5  # loose: small k
+
+
+def test_multi_family_aggregate_blobs_equal_single_family(spark, events):
+    """The one-pass multi-family build (shared scan + shared Python partial
+    stage) must produce byte-identical per-(family, group) blobs to the
+    per-family sketch_aggregate builds it replaced (all four kernels are
+    order-insensitive)."""
+    from sketches_rust_spark.functions.sketch_udafs import (
+        kmv_adapter, multi_family_aggregate)
+
+    ev = events.select(F.col("event_type").alias("_g"),
+                       F.col("user_id").cast("long").alias("_id"))
+    restricted = F.col("_g").isin(["purchase", "click"])
+    fams = {
+        "hll": (hll_adapter(p=12, hash_mode="splitmix"), restricted),
+        "kmv": (kmv_adapter(64, hash_mode="splitmix"), restricted),
+        "cms": (cms_adapter(3, 512, "splitmix"), None),
+        "bloom": (bloom_adapter(1 << 12, 3, "splitmix"), restricted),
+    }
+    multi = multi_family_aggregate(ev, "_id", ["_g"], fams)
+    got = {(r["family"], r["_g"]): (bytes(r["sketch"]), r["rows_in"])
+           for r in multi.collect()}
+
+    singles = {
+        "hll": sketch_aggregate(ev.where(restricted), "_id", ["_g"],
+                                hll_adapter(p=12, hash_mode="splitmix")),
+        "kmv": sketch_aggregate(ev.where(restricted), "_id", ["_g"],
+                                kmv_adapter(64, hash_mode="splitmix")),
+        "cms": sketch_aggregate(ev, "_id", ["_g"],
+                                cms_adapter(3, 512, "splitmix")),
+        "bloom": sketch_aggregate(ev.where(restricted), "_id", ["_g"],
+                                  bloom_adapter(1 << 12, 3, "splitmix")),
+    }
+    want = {}
+    for fam, agg in singles.items():
+        for r in agg.collect():
+            want[(fam, r["_g"])] = (bytes(r["sketch"]), r["rows_in"])
+    assert got == want
