@@ -533,7 +533,16 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
     by ~2^16. Measured on the dup-heavy sf0.1 fixture: 1.89M -> 735k
     candidates (2.6x; the residual is true near-dup pairs, which no
     lossless blocking can avoid) — the win over single-block grows with
-    corpus size as 16-bit buckets saturate."""
+    corpus size as 16-bit buckets saturate.
+
+    Shape note (round 6): a filter-before-distinct variant (Hamming test on
+    the raw join matches, then dedup the narrower true-pair rows) was
+    A/B'd both ways at both scales — slightly faster at sf0.1 (med 1.47 vs
+    1.69 s) but consistently SLOWER at sf1.0 (med 78 vs 73 s, reproduced
+    with arm order reversed), where exact-duplicate-dominated pairs repeat
+    on up to C(n_blocks, agree) combo keys either way and the distinct's
+    map-side partial collapses them equally. Kept the dedup-then-filter
+    shape that wins at the scale that matters."""
     cand = simhash_candidates(signatures, max_hamming, n_blocks)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", hamming)
@@ -574,9 +583,19 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
     when instrumenting (adversarial-skew evidence lives in
     tests/test_pipeline_ops.py, scripts/cc_scale_point.py and
     BENCH/BASELINE.md)."""
+    # The full (bidirectional) edge set is the ONE data-scale intermediate
+    # of this operator: persist it (spillable MEMORY_AND_DISK) rather than
+    # localCheckpoint — a checkpoint copies every UnsafeRow into the
+    # block-manager memory store without a graceful spill path, and at
+    # sf1.0 (50k docs, 54.9M directed edges on a clique-heavy near-dup
+    # graph) that copy OOMed a 16 GB heap; worse, localCheckpoint blocks
+    # from one run leak until driver GC, so a re-measured query compounds
+    # the pressure. persist spills under memory pressure and is freed
+    # DETERMINISTICALLY below once both contraction products exist.
+    from pyspark import StorageLevel
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-             ).localCheckpoint()  # pairs' lineage (blocked join) runs ONCE
+             ).persist(StorageLevel.MEMORY_AND_DISK)  # blocked join runs ONCE
     # phase 1: contract v -> min(closed neighborhood); every node appears as
     # src (edges are bidirectional), so m covers every node exactly once
     m = (edges.groupBy("src").agg(F.min("dst").alias("_mn"))
@@ -594,6 +613,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
         stats["contracted_edges"] = e2.count()
         stats["rounds"] = 0
         stats["changed_per_round"] = []
+    # m and e2 are materialized (eager checkpoints) and nothing below reads
+    # the raw edges again — release the data-scale blocks NOW, not at GC
+    edges.unpersist()
     # phase 2: pointer-jumping min-label loop over the contracted graph
     labels = (e2.select(F.col("src").alias("_id")).distinct()
               .withColumn("cluster", F.col("_id"))).localCheckpoint()

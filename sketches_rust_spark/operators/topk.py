@@ -25,26 +25,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _topk_round_plan(items: DataFrame, local: DataFrame, k: int,
-                     limit: int) -> tuple[DataFrame, DataFrame]:
-    """One pruning round's lazy plans: (candidates' top-k, cutoff-bound agg).
+def _topk_round_plan(ranked_local: DataFrame, k: int, limit: int) -> DataFrame:
+    """One pruning round's lazy plan: candidates' exact top-k with the
+    cutoff-bound scalar attached to every row.
 
-    The global top-k is orderBy+limit -> TakeOrderedAndProject (each task
-    keeps its local k, the driver merges k-heaps) — never an unpartitioned
-    window over all candidates. The rank window then sees at most k rows;
-    pmod(cnt, 1) is a constant-valued but non-foldable partition key (a bare
-    literal gets folded away and WindowExec would warn "No Partition
-    Defined")."""
-    w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
-    ranked_local = local.withColumn("_r", F.row_number().over(w))
+    ``ranked_local`` is the cached per-(partition, item) count table with
+    its per-partition rank ``_r`` — computed ONCE outside the loop (the
+    rank does not depend on the round's limit; re-deriving the window per
+    round cost a full shuffle+sort of the local table each widening). The
+    candidate recount derives from it too: sum of a candidate's local
+    counts IS its exact global count, so no round ever re-scans the raw
+    items. The global top-k is orderBy+limit -> TakeOrderedAndProject (each
+    task keeps its local k, the driver merges k-heaps) — never an
+    unpartitioned window over all candidates. The rank window then sees at
+    most k rows; pmod(cnt, 1) is a constant-valued but non-foldable
+    partition key (a bare literal gets folded away and WindowExec would
+    warn "No Partition Defined")."""
     candidates = (ranked_local.where(F.col("_r") <= limit)
                   .select("item").distinct())
     # upper bound on any non-candidate item's global count: the sum of each
     # partition's cutoff count (0 if a partition ran out)
     bound = (ranked_local.where(F.col("_r") == limit)
              .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("b")))
-    recount = (items.join(F.broadcast(candidates), "item", "leftsemi")
-               .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+    recount = (ranked_local.join(F.broadcast(candidates), "item", "leftsemi")
+               .groupBy("item").agg(F.sum("c").cast("long").alias("cnt")))
     wk = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
         F.desc("cnt"), F.asc("item"))
     top = (recount.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
@@ -65,15 +69,35 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
     (partition, item) combos; phase 2 recounts only candidate items; phase 3
     checks the threshold-algorithm exactness bound and widens the candidate
     set if it does not hold.
+
+    NEAR-UNIFORM data cannot be certified by pruning at any sane limit: with
+    flat counts the bound (sum of per-partition cutoff counts) stays above
+    the k-th candidate until the limit covers nearly every distinct item —
+    observed on sf1.0 lineitem.l_partkey (6M rows over ~200k near-uniform
+    keys), where the pre-round-6 code exhausted max_rounds and RAISED,
+    aborting the whole bench. Two fixes: (a) a futility check stops widening
+    when doubling the limit moved the bound by <20% (a flat tail — more
+    rounds cannot certify), and (b) the terminal fallback is the provably
+    exact FULL recount over the cached local aggregate (one exchange of one
+    row per distinct (partition, item) — skew-free, no raw-row re-scan),
+    never an exception. Zipfian data still certifies on round one and never
+    reaches either path. Every recount (pruning rounds AND fallback) sums
+    the cached local counts rather than re-scanning the items — exact by
+    construction (sum of per-partition counts == global count).
     """
     items = df.select(F.col(item_col).alias("item"))
     with_part = items.withColumn("_p", F.spark_partition_id())
     local = with_part.groupBy("_p", "item").agg(F.count(F.lit(1)).alias("c"))
-    local.cache()
+    w = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
+    ranked_local = local.withColumn("_r", F.row_number().over(w))
+    ranked_local.cache()
+    wk = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.desc("cnt"), F.asc("item"))
     try:
+        prev_cutoffs = None
         for round_ in range(max_rounds):
             limit = k * fudge * (2 ** round_)
-            top_with_bound = _topk_round_plan(items, local, k, limit)
+            top_with_bound = _topk_round_plan(ranked_local, k, limit)
             # exactness proof: only the k result rows (each carrying the
             # scalar bound) cross to the driver — ONE action per round
             rows = top_with_bound.collect()
@@ -91,10 +115,20 @@ def topk_exact_pruned(df: DataFrame, item_col: str, k: int,
                 out_schema = top_with_bound.drop("b").schema
                 return df.sparkSession.createDataFrame(
                     [r[:-1] for r in rows], out_schema)
-        raise RuntimeError("top-k candidate pruning failed to verify; "
-                           "raise fudge/max_rounds")
+            if prev_cutoffs is not None and cutoffs > 0.8 * prev_cutoffs:
+                break  # flat tail: widening is futile, go recount exactly
+            prev_cutoffs = cutoffs
+        # exact fallback: full recount of every item from the cached local
+        # aggregate (exchange carries one row per distinct (partition, item))
+        full = (ranked_local.groupBy("item")
+                .agg(F.sum("c").cast("long").alias("cnt")))
+        top = (full.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+               .withColumn("rank", F.row_number().over(wk).cast("long"))
+               .select("item", "cnt", "rank"))
+        rows = top.collect()
+        return df.sparkSession.createDataFrame(rows, top.schema)
     finally:
-        local.unpersist()
+        ranked_local.unpersist()
 
 
 def topk_exact_oracle_sql(table: str, item_expr: str, k: int,

@@ -55,12 +55,17 @@ def test_topk_exact_plan_has_no_global_window(spark, documents):
     from pyspark.sql import functions as F
     from sketches_rust_spark.operators.topk import _topk_round_plan
 
+    from pyspark.sql import Window
+
     items = documents.repartition(7).select(F.col("lang").alias("item"))
     local = (items.withColumn("_p", F.spark_partition_id())
              .groupBy("_p", "item").agg(F.count(F.lit(1)).alias("c")))
+    wr = Window.partitionBy("_p").orderBy(F.desc("c"), F.asc("item"))
+    ranked = local.withColumn("_r", F.row_number().over(wr))
     # single-return contract: top-k rows with the scalar exactness bound
-    # attached (one collect per pruning round instead of two)
-    top = _topk_round_plan(items, local, k=5, limit=20)
+    # attached (one collect per pruning round instead of two); the recount
+    # derives from the cached ranked-local aggregate, not a re-scan
+    top = _topk_round_plan(ranked, k=5, limit=20)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     for line in plan.splitlines():
