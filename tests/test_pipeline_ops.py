@@ -842,3 +842,26 @@ def test_cc_adversarial_skew_clique_plus_path(spark):
     # pointer jumping: O(log2 diameter) rounds, not O(diameter)
     assert stats["rounds"] <= math.ceil(math.log2(path_n)) + 2
     assert stats["rounds"] >= 3  # the path is genuinely long (not trivial)
+
+
+def test_numpy_seq_dot_matches_expression_fold(spark):
+    """The bucket-local numpy cosine scorer accumulates left-to-right
+    (cumsum), which must be bit-identical to the JVM sequential fold
+    `aggregate(zip_with(a, b, *), 0.0, +)` the operator previously used
+    (and the DuckDB oracle's list_reduce). Raw doubles compared exactly —
+    no rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sketches_rust_spark.operators.similarity import _dot, _seq_dot_np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((50, 64)).astype(np.float32)
+    b = rng.standard_normal((50, 64)).astype(np.float32)
+    rows = [(i, av.tolist(), bv.tolist()) for i, (av, bv) in enumerate(zip(a, b))]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    jvm = {r["i"]: r["d"] for r in df.select(
+        "i", _dot(F.col("a").cast("array<double>"),
+                  F.col("b").cast("array<double>")).alias("d")).collect()}
+    got = _seq_dot_np(a.astype(np.float64), b.astype(np.float64))
+    for i in range(50):
+        assert jvm[i] == got[i], (i, jvm[i], got[i])
