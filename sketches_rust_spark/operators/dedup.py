@@ -535,19 +535,54 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
     lossless blocking can avoid) — the win over single-block grows with
     corpus size as 16-bit buckets saturate.
 
-    Shape note (round 6): a filter-before-distinct variant (Hamming test on
-    the raw join matches, then dedup the narrower true-pair rows) was
-    A/B'd both ways at both scales — slightly faster at sf0.1 (med 1.47 vs
-    1.69 s) but consistently SLOWER at sf1.0 (med 78 vs 73 s, reproduced
-    with arm order reversed), where exact-duplicate-dominated pairs repeat
-    on up to C(n_blocks, agree) combo keys either way and the distinct's
-    map-side partial collapses them equally. Kept the dedup-then-filter
-    shape that wins at the scale that matters."""
-    cand = simhash_candidates(signatures, max_hamming, n_blocks)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", hamming)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    Round 6 shape — collapse identical signatures FIRST: the blocked
+    self-join runs over DISTINCT signature values (each standing as its own
+    id), and qualifying signature pairs expand back to doc pairs through
+    two membership joins, plus a same-signature intra-group join for the
+    Hamming-0 pairs. Losslessness: a doc pair qualifies iff its signature
+    pair does; a cross-group doc pair descends from exactly one signature
+    pair and an intra-group pair from exactly one signature, so the union
+    is exact and duplicate-free with NO doc-level distinct. Wins vs the
+    doc-level join: (a) the combo-key explode and the candidate distinct
+    shrink by the duplication factor and to 16-byte (sig, sig) rows —
+    exact-duplicate docs otherwise re-join per copy and repeat on up to
+    C(n_blocks, agree) combo keys; (b) the expansion joins broadcast the
+    16-byte/doc membership table, so no candidate-scale rows ever shuffle.
+    (A filter-before-distinct variant of the doc-level join was also
+    measured and rejected: med 78 vs 73 s at sf1.0.)"""
+    sigs = signatures.localCheckpoint()
+    usig = (sigs.select(F.col("simhash").alias("_id"), "simhash").distinct())
+    keyed, packable = _simhash_combo_keyed(usig, max_hamming, n_blocks)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    same_key = (F.col("a.v") == F.col("b.v")) if packable else (
+        (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v")))
+    sig_hamming = F.bit_count(F.col("_sga").bitwiseXOR(F.col("_sgb")))
+    sig_pairs = (a.join(b, same_key & (F.col("a._id") < F.col("b._id")))
+                 .select(F.col("a._id").alias("_sga"),
+                         F.col("b._id").alias("_sgb"))
+                 .distinct()
+                 .withColumn("hamming", sig_hamming)
+                 .where(F.col("hamming") <= max_hamming))
+    mem_a = sigs.select(F.col("simhash").alias("_sga"),
+                        F.col("_id").alias("_ida"))
+    mem_b = sigs.select(F.col("simhash").alias("_sgb"),
+                        F.col("_id").alias("_idb"))
+    # no broadcast hint: the membership table is corpus-sized (16 B/doc) —
+    # AQE broadcasts it while it fits and falls back to a shuffled join of
+    # 16-byte rows beyond that, both fine
+    cross = (sig_pairs.join(mem_a, "_sga").join(mem_b, "_sgb")
+             .select(F.least("_ida", "_idb").alias("id_a"),
+                     F.greatest("_ida", "_idb").alias("id_b"),
+                     "hamming"))
+    x, y = sigs.alias("x"), sigs.alias("y")
+    intra = (x.join(y, (F.col("x.simhash") == F.col("y.simhash"))
+                    & (F.col("x._id") < F.col("y._id")))
+             .select(F.col("x._id").alias("id_a"),
+                     F.col("y._id").alias("id_b"),
+                     F.bit_count(F.col("x.simhash")
+                                 .bitwiseXOR(F.col("y.simhash")))
+                     .alias("hamming")))
+    return cross.unionByName(intra)
 
 
 # -- near-dup clustering + canonical selection ------------------------------------------------
