@@ -1511,7 +1511,18 @@ def dedup_jaccard_surface_query(shingle_k: int = 3, threshold: float = 0.3,
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .dedup import ngram_jaccard_pairs, shingle_hashes
         docs = load(spark, sf_dir, "documents")
-        sh = shingle_hashes(docs, "doc_id", "text", shingle_k).localCheckpoint()
+        # hash-partition the materialized shingle table BY THE JOIN KEY:
+        # the Python shingler inherits the scan's split count (2 tasks on
+        # the small fixture file), and a broadcast self-join would expand
+        # its quadratic per-shingle output at that parallelism (measured
+        # sf1.0: 221 s vs 13 s). Partitioning by h lifts parallelism to at
+        # least defaultParallelism AND lets the self-join and the df-cap
+        # window reuse the checkpoint's partitioning outright; the floor
+        # keeps the scan-proportional count when the corpus is large.
+        n_parts = max(spark.sparkContext.defaultParallelism,
+                      docs.rdd.getNumPartitions())
+        sh = (shingle_hashes(docs, "doc_id", "text", shingle_k)
+              .repartition(n_parts, "h").localCheckpoint())
         un = ngram_jaccard_pairs(docs, shingle_k=shingle_k,
                                  threshold=threshold, shingles=sh)
         cp = ngram_jaccard_pairs(docs, shingle_k=shingle_k,

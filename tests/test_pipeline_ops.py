@@ -865,3 +865,24 @@ def test_numpy_seq_dot_matches_expression_fold(spark):
     got = _seq_dot_np(a.astype(np.float64), b.astype(np.float64))
     for i in range(50):
         assert jvm[i] == got[i], (i, jvm[i], got[i])
+
+
+def test_python_shingler_matches_expression_path(spark, sf_dir):
+    """shingle_hashes' Python stage must reproduce the JVM expression
+    pipeline (split on ' ', k-windows joined by ' ', md5[:15] base hash,
+    distinct per doc) EXACTLY — the DuckDB oracles recompute the same."""
+    from pyspark.sql import functions as F
+    from sketches_rust_spark.operators.dedup import (
+        _base_hash, _shingles, shingle_hashes)
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 3
+    expr_path = (documents.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(_shingles(F.col("text"), k)).alias("_sh"))
+        .select("_id", _base_hash(F.col("_sh")).alias("h"))
+        .distinct())
+    old = {(r["_id"], r["h"]) for r in expr_path.collect()}
+    new = {(r["_id"], r["h"]) for r in
+           shingle_hashes(documents, "doc_id", "text", k).collect()}
+    assert old == new and len(old) > 0
