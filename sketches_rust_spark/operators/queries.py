@@ -1010,16 +1010,18 @@ def simhash_pairs_query(max_hamming: int = 3, n_blocks: int | None = 6):
 
 
 def keep_canonical_query(max_hamming: int = 3, n_blocks: int | None = 6):
-    """End-to-end near-dup removal: simhash pairs -> connected components
-    (min-label propagation) -> keep the canonical (min-id) member.
+    """End-to-end near-dup removal: simhash near-dup graph -> connected
+    components -> keep the canonical (min-id) member. Round 6: components
+    run on the COLLAPSED signature graph (dedup_keep_canonical_simhash),
+    which is provably component-equivalent to clustering the expanded doc
+    pair graph (same-signature groups are cliques; see the operator
+    docstring) — the quadratic doc-pair expansion is never materialized.
     n_blocks=6: see simhash_pairs_query (lossless, ~50x fewer candidates)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .dedup import (dedup_keep_canonical, simhash_near_pairs,
-                            simhash_signatures)
+        from .dedup import dedup_keep_canonical_simhash
         df = load(spark, sf_dir, "documents")
-        pairs = simhash_near_pairs(simhash_signatures(df), max_hamming,
-                                   n_blocks=n_blocks)
-        return dedup_keep_canonical(df, pairs).select("doc_id")
+        return dedup_keep_canonical_simhash(
+            df, max_hamming, n_blocks=n_blocks).select("doc_id")
     return run
 
 
