@@ -33,6 +33,15 @@ from . import serde
 LOG = 0
 LOG_CUBIC = 3
 
+# Smallest supported relative accuracy for constructed mappings: with the
+# full double range, an unbounded store spans at most ~2 * 709.8 / alpha
+# bins; at this floor that is ~23.3M bins, ~2.9x under the decoder's
+# hostile-blob span cap (store.MAX_DECODE_DENSE_SPAN = 2^26), so every
+# sketch this engine can build is guaranteed to decode its own blob.
+# Decoded FOREIGN mappings (with_gamma_offset) are not floored — the
+# reference imposes no minimum — only local construction is.
+MIN_RELATIVE_ACCURACY = 1.0 / (1 << 15)
+
 _LAYOUT_NAMES = {LOG: "LOG", LOG_CUBIC: "LogCubic"}
 
 # Cubic interpolation constants (spec mod.rs:12-19).
@@ -87,6 +96,18 @@ class IndexMapping:
     def with_relative_accuracy(layout: int, relative_accuracy: float) -> "IndexMapping":
         if not (0.0 < relative_accuracy < 1.0):
             raise ValueError("The relative accuracy must be between 0 and 1.")
+        if relative_accuracy < MIN_RELATIVE_ACCURACY:
+            # round-trip guarantee (round-5 advice): the decoder caps dense
+            # bin spans at store.MAX_DECODE_DENSE_SPAN (2^26) to reject
+            # hostile blobs; an unbounded-store sketch built with a smaller
+            # alpha than this floor could legitimately span more bins over
+            # the full double range and then fail to decode its OWN blob.
+            # The floor keeps every constructible sketch's worst-case span
+            # (~2 * 710 / alpha bins) at least ~2.9x under the decode cap.
+            raise ValueError(
+                f"relative_accuracy {relative_accuracy!r} is below the "
+                f"supported minimum {MIN_RELATIVE_ACCURACY!r} (the decode "
+                "span cap could otherwise reject the sketch's own blob)")
         if layout == LOG:
             cf, base = _LOG_CORRECTING_FACTOR, _LOG_BASE
         elif layout == LOG_CUBIC:

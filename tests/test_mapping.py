@@ -128,3 +128,26 @@ def test_mapping_equality_roundtrip_from_gamma():
     b = IndexMapping.with_gamma_offset(LOG_CUBIC, a.gamma, a.index_offset)
     c = IndexMapping.with_gamma_offset(LOG_CUBIC, a.gamma, a.index_offset)
     assert b == c
+
+
+def test_min_relative_accuracy_floor_guarantees_round_trip():
+    """Round-5 advice: the decoder caps dense bin spans (hostile blobs), so
+    construction must floor relative_accuracy such that every constructible
+    sketch decodes its own blob. At the floor, a sketch over (near) the full
+    double range must round-trip; below the floor, construction refuses."""
+    import numpy as np
+    import pytest
+
+    from sketches_rust_spark.kernel.mapping import (
+        MIN_RELATIVE_ACCURACY, IndexMapping)
+    from sketches_rust_spark.kernel.sketch import DDSketch
+
+    with pytest.raises(ValueError, match="minimum"):
+        IndexMapping.with_relative_accuracy(LOG, MIN_RELATIVE_ACCURACY / 2)
+
+    sk = DDSketch.logarithmic_unbounded_size_dense_store(MIN_RELATIVE_ACCURACY)
+    sk.accept_many(np.array([5e-308, 1.0, 1.7e308, -5e-308, -1.7e308]))
+    blob = sk.encode()
+    back = DDSketch.decode(blob)  # must NOT trip the decode span cap
+    assert back.get_count() == sk.get_count()
+    assert back.encode() == blob
