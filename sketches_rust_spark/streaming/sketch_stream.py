@@ -83,13 +83,25 @@ def stream_state_partitions(staged_dir: str, n_batches: int) -> int:
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily pin spark.sql.shuffle.partitions (state-store sizing for
-    a streaming run); always restores the session value."""
+    a streaming run) and disable AQE for the replay's micro-batch jobs;
+    always restores the session values.
+
+    AQE off here is deliberate: stateful streaming shuffles are exempt from
+    AQE anyway, the replay's partition count is already derived from the
+    micro-batch size (stream_state_partitions), and adaptive re-planning
+    adds per-query-stage latency to jobs whose inputs are a single
+    micro-batch — measured at sf0.1 (interleaved, 3 rounds): windowed
+    replay med 2.96 s vs 3.69 s with AQE on. Batch post-processing outside
+    this scope keeps the session's AQE."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def stream_sketch_partials(
