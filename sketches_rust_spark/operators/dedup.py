@@ -23,6 +23,8 @@ candidate pairs admit exact oracles.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -356,24 +358,27 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, simhash long): sign of per-bit votes over distinct token hashes.
 
-    ONE shuffle total: ``groupBy(id).collect_set(token_hash)`` — Catalyst
-    partial-aggregates the set union map-side, so the shuffle carries
-    per-partition distinct (doc, hash) partial sets (same volume a
-    ``distinct()`` would move, but lands each document whole on one reducer,
-    which a distinct-then-aggregate plan would pay a second shuffle for).
-    Bit-vote counting is then a single vectorized numpy pass per Arrow batch
-    (unpack hashes to a bit matrix, ``add.reduceat`` over doc boundaries,
-    sign) with no per-document Python loop. Per-group state is bounded by
-    the document's distinct-token count, so a hot document cannot blow a
-    reducer. Result is exact, hence partition-invariant.
+    ZERO shuffles: each input row carries its whole document, so one
+    Arrow-batched Python stage (guide §4.2) tokenizes (same " " split as
+    the expression path), hashes (same md5[:15] 60-bit base hash), dedups
+    per doc with a local set, and bit-votes — all without the
+    explode -> groupBy(collect_set) exchange the previous shape paid to
+    land each document's distinct hashes on one reducer (they already ARE
+    on one row). The corpus-wide (doc, token-hash) shuffle this removes is
+    the operator's only data-scale exchange; the bit-vote stays a single
+    vectorized numpy pass per batch (unpack hashes to a bit matrix,
+    ``add.reduceat`` over doc boundaries, sign), no per-doc numpy calls.
+    Hash-set semantics identical to collect_set(h) (a set of the SAME
+    60-bit hashes); NULL text drops the row exactly like explode(split(
+    NULL)). Result is exact, hence partition-invariant (pinned in
+    tests/test_pipeline_ops.py).
     """
-    toks = (df.select(F.col(id_col).alias("_id"),
-                      F.explode(F.split(F.col(text_col), " ")).alias("_t"))
-            .select("_id", _base_hash(F.col("_t")).alias("h")))
-    sets = toks.groupBy("_id").agg(F.collect_set("h").alias("_hs"))
+    import hashlib
 
+    narrow = df.select(F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_t"))
     out_schema = StructType([
-        StructField("_id", toks.schema["_id"].dataType, False),
+        StructField("_id", narrow.schema["_id"].dataType, False),
         StructField("simhash", LongType(), False),
     ])
 
@@ -381,13 +386,22 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         bit_range = np.arange(bits, dtype=np.uint64)[None, :]
         n_low = min(bits, 63)  # bit 63 is the int64 sign bit, handled apart
         shifts = np.arange(n_low, dtype=np.int64)[None, :]
+        md5 = hashlib.md5
         for pdf in batches:
-            if not len(pdf):
+            ids_out: list = []
+            lens: list = []
+            chunks: list = []
+            for _id, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None:
+                    continue
+                hs = {int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                      for tok in t.split(" ")}
+                ids_out.append(_id)
+                lens.append(len(hs))
+                chunks.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
+            if not ids_out:
                 continue
-            lens = pdf["_hs"].map(len).to_numpy()
-            flat = np.concatenate(
-                [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
-            ).view(np.uint64)
+            flat = np.concatenate(chunks).view(np.uint64)
             bits_m = ((flat[:, None] >> bit_range) & np.uint64(1)).astype(np.int64)
             contrib = 2 * bits_m - 1  # +1 / -1 votes
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -399,9 +413,9 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                 # but handle it anyway)
                 sh = np.where(pos[:, 63],
                               sh + np.int64(-9223372036854775808), sh)
-            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "simhash": sh})
+            yield pd.DataFrame({"_id": np.asarray(ids_out), "simhash": sh})
 
-    return sets.mapInPandas(stage, schema=out_schema)
+    return narrow.mapInPandas(stage, schema=out_schema)
 
 
 def simhash_candidates(signatures: DataFrame, max_hamming: int = 3,
@@ -647,8 +661,22 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
        web scale a chained component of length 10^6 is ~20 rounds, not
        10^6. Each round is three shuffles bounded by |contracted graph|.
 
+    When the CONTRACTED graph is small (<= SKETCH_CC_LOCAL_EDGE_CAP
+    directed edges, default 500k ~= 8 MB of (long, long) rows — broadcast-
+    relation territory), phase 2 is solved exactly on the driver with
+    union-find instead of the shuffle loop — the same measured-size
+    strategy choice a broadcast join makes, NOT a local-mode tune: the
+    gate is a count() of the already-checkpointed contracted edges (no row
+    reaches the driver when the graph is big), and at real scale the
+    contracted remainder exceeds the cap and the distributed loop below
+    runs unchanged. Both paths are exact, so the result is identical; the
+    local path replaces O(log diameter) rounds x 3 shuffles + 2 actions
+    per round with one count + one Arrow fetch.
+
     Stops early at fixpoint; raises on non-convergence rather than silently
-    splitting components (dedup_keep_canonical would retain duplicates).
+    splitting components (dedup_keep_canonical would retain duplicates) —
+    the driver-side path cannot fail to converge (union-find is exact
+    regardless of max_iters).
 
     stats: optional dict filled with {'input_edges', 'contracted_edges',
     'rounds', 'changed_per_round'} — extra count() actions, so pass it only
@@ -688,7 +716,41 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
     # m and e2 are materialized (eager checkpoints) and nothing below reads
     # the raw edges again — release the data-scale blocks NOW, not at GC
     edges.unpersist()
-    # phase 2: pointer-jumping min-label loop over the contracted graph
+    # phase 2a: size-gated exact local solve (see docstring). The gate is a
+    # count() of the already-checkpointed contracted edges (a metadata-cheap
+    # job — no row ever reaches the driver when the graph is big), and the
+    # fetch when it fits is one Arrow toPandas of (long, long) rows.
+    cap = int(os.environ.get("SKETCH_CC_LOCAL_EDGE_CAP", "500000"))
+    if cap > 0:
+        n_e2 = (stats["contracted_edges"] if stats is not None
+                else e2.count())
+        if n_e2 <= cap:
+            pdf2 = e2.toPandas()
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(pdf2["src"].tolist(), pdf2["dst"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min root stays the root -> label = component minimum,
+                    # exactly the loop's fixpoint
+                    parent[max(ra, rb)] = min(ra, rb)
+            if stats is not None:
+                stats["local_solve"] = True
+            id_t = e2.schema["src"].dataType
+            schema = StructType([StructField("_rep2", id_t, False),
+                                 StructField("_fc", id_t, False)])
+            final = pairs.sparkSession.createDataFrame(
+                [(x, find(x)) for x in parent], schema)
+            return (m.join(final, m.rep == final._rep2, "left")
+                    .select("_id", F.coalesce("_fc", "rep").alias("cluster")))
+    # phase 2b: pointer-jumping min-label loop over the contracted graph
     labels = (e2.select(F.col("src").alias("_id")).distinct()
               .withColumn("cluster", F.col("_id"))).localCheckpoint()
     changed = labels.count()  # nonzero iff any contracted edges remain

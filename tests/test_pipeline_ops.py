@@ -508,8 +508,19 @@ def test_near_dup_clusters_random_graphs_vs_union_find(spark):
     for edges in shapes:
         pairs = spark.createDataFrame(
             [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"])
+        # default path (driver-side union-find on the small contracted
+        # graph) AND the distributed pointer-jumping loop (forced via a
+        # zero local-solve cap) must BOTH match the reference union-find
         got = {r["_id"]: r["cluster"]
                for r in near_dup_clusters(pairs, max_iters=30).collect()}
+        import os as _os
+        _os.environ["SKETCH_CC_LOCAL_EDGE_CAP"] = "0"
+        try:
+            got_dist = {r["_id"]: r["cluster"]
+                        for r in near_dup_clusters(pairs, max_iters=30).collect()}
+        finally:
+            del _os.environ["SKETCH_CC_LOCAL_EDGE_CAP"]
+        assert got == got_dist
         parent = {}
 
         def find(x):
@@ -527,18 +538,25 @@ def test_near_dup_clusters_random_graphs_vs_union_find(spark):
         assert got == want
 
 
-def test_near_dup_clusters_raises_on_nonconvergence(spark):
-    """A long path needs diameter iterations; a tiny cap must raise instead
-    of silently returning split components."""
+def test_near_dup_clusters_raises_on_nonconvergence(spark, monkeypatch):
+    """A long path needs diameter iterations; in the DISTRIBUTED loop
+    (local-solve gate off) a tiny cap must raise instead of silently
+    returning split components. The default driver-side path is exact
+    regardless of max_iters and must converge on the same graph."""
     from sketches_rust_spark.operators.dedup import near_dup_clusters
 
     path = spark.createDataFrame([(i, i + 1) for i in range(8)],
                                  ["id_a", "id_b"])
+    monkeypatch.setenv("SKETCH_CC_LOCAL_EDGE_CAP", "0")
     with pytest.raises(RuntimeError, match="converge"):
         near_dup_clusters(path, max_iters=2)
     labels = {r["_id"]: r["cluster"]
               for r in near_dup_clusters(path, max_iters=20).collect()}
     assert set(labels.values()) == {0}
+    monkeypatch.delenv("SKETCH_CC_LOCAL_EDGE_CAP")
+    local = {r["_id"]: r["cluster"]
+             for r in near_dup_clusters(path, max_iters=2).collect()}
+    assert local == labels  # union-find path: exact even under max_iters=2
 
 
 def test_ngram_jaccard_df_cap_bounds_join_input(spark):
@@ -802,7 +820,7 @@ def test_contamination_max_eval_df_cap(spark):
     assert uncapped.count() == 24  # 6 docs x 4 items via the stop-shingle
 
 
-def test_cc_adversarial_skew_clique_plus_path(spark):
+def test_cc_adversarial_skew_clique_plus_path(spark, monkeypatch):
     """The adversarial CC fixture: one giant clique (a template duplicated
     into ~10% of the corpus — the worst-case skew a web crawl produces)
     plus a long path component (the worst case for plain min-star
@@ -825,6 +843,10 @@ def test_cc_adversarial_skew_clique_plus_path(spark):
     path_edges = [(path_ids[i], path_ids[i + 1]) for i in range(path_n - 1)]
     pairs = spark.createDataFrame(clique_edges + path_edges, ["id_a", "id_b"])
 
+    # force the distributed pointer-jumping loop: this test pins the LOOP's
+    # round bound, which the driver-side union-find gate would bypass on a
+    # graph this small
+    monkeypatch.setenv("SKETCH_CC_LOCAL_EDGE_CAP", "0")
     stats: dict = {}
     labels = {r._id: r.cluster
               for r in near_dup_clusters(pairs, stats=stats).collect()}
@@ -865,6 +887,63 @@ def test_numpy_seq_dot_matches_expression_fold(spark):
     got = _seq_dot_np(a.astype(np.float64), b.astype(np.float64))
     for i in range(50):
         assert jvm[i] == got[i], (i, jvm[i], got[i])
+
+
+def test_python_simhash_signatures_match_expression_path(spark, sf_dir):
+    """The fused tokenize+hash+bit-vote Python stage must reproduce the
+    explode -> md5[:15] base hash -> collect_set -> bit-vote pipeline
+    EXACTLY (the DuckDB keep-canonical oracle recomputes the same
+    signatures), including NULL-text row dropping and ''-token handling."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+    from sketches_rust_spark.operators.dedup import (
+        _base_hash, simhash_signatures)
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "a "), (100003, " a  b"), (100004, None),
+         (100005, "héllo wörld héllo")],
+        ["doc_id", "text"]).select("doc_id", "text",
+                                   F.lit("xx").alias("lang"),
+                                   F.lit("t").alias("source"),
+                                   F.length("text").alias("n_chars"))
+    documents = documents.unionByName(edge)
+
+    toks = (documents.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("_t"))
+        .select("_id", _base_hash(F.col("_t")).alias("h")))
+    sets = toks.groupBy("_id").agg(F.collect_set("h").alias("_hs"))
+
+    def vote(batches):
+        bit_range = np.arange(64, dtype=np.uint64)[None, :]
+        shifts = np.arange(63, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["_hs"].map(len).to_numpy()
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
+            ).view(np.uint64)
+            bits_m = ((flat[:, None] >> bit_range) & np.uint64(1)).astype(np.int64)
+            contrib = 2 * bits_m - 1
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = np.add.reduceat(contrib, starts, axis=0)
+            pos = votes > 0
+            sh = (pos[:, :63].astype(np.int64) << shifts).sum(axis=1)
+            sh = np.where(pos[:, 63], sh + np.int64(-9223372036854775808), sh)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "simhash": sh})
+
+    schema = StructType([StructField("_id", LongType(), False),
+                         StructField("simhash", LongType(), False)])
+    old = {(r["_id"], r["simhash"])
+           for r in sets.mapInPandas(vote, schema=schema).collect()}
+    new = {(r["_id"], r["simhash"])
+           for r in simhash_signatures(documents).collect()}
+    assert old == new and len(old) > 0
+    assert 100004 not in {i for i, _ in new}  # NULL text dropped both ways
 
 
 def test_python_shingler_matches_expression_path(spark, sf_dir):
