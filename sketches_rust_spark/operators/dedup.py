@@ -638,6 +638,28 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
 
 # -- near-dup clustering + canonical selection ------------------------------------------------
 
+def _local_union_find(pdf: pd.DataFrame) -> list[tuple]:
+    """Exact min-label connected components of a (src, dst) edge table on
+    the driver: [(node, component_min)] for every node that appears in any
+    edge. The min root always stays the root, so the label equals the
+    component minimum — the same fixpoint the distributed loop converges
+    to."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
+
+
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
                       stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs: (_id, cluster) where
@@ -661,17 +683,18 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
        web scale a chained component of length 10^6 is ~20 rounds, not
        10^6. Each round is three shuffles bounded by |contracted graph|.
 
-    When the CONTRACTED graph is small (<= SKETCH_CC_LOCAL_EDGE_CAP
-    directed edges, default 500k ~= 8 MB of (long, long) rows — broadcast-
-    relation territory), phase 2 is solved exactly on the driver with
-    union-find instead of the shuffle loop — the same measured-size
-    strategy choice a broadcast join makes, NOT a local-mode tune: the
-    gate is a count() of the already-checkpointed contracted edges (no row
-    reaches the driver when the graph is big), and at real scale the
-    contracted remainder exceeds the cap and the distributed loop below
-    runs unchanged. Both paths are exact, so the result is identical; the
-    local path replaces O(log diameter) rounds x 3 shuffles + 2 actions
-    per round with one count + one Arrow fetch.
+    When the graph is small (<= SKETCH_CC_LOCAL_EDGE_CAP directed edges,
+    default 500k ~= 8 MB of (long, long) rows — broadcast-relation
+    territory), the components are solved exactly on the driver with
+    union-find instead of the shuffle machinery — the same measured-size
+    strategy choice a broadcast join makes, NOT a local-mode tune. Two
+    gates: (1) on the INPUT edge count (one scan of the persisted edge set,
+    which the contraction would materialize anyway) — a hit skips
+    contraction AND loop outright; (2) after contraction, on the CONTRACTED
+    edge count (covers huge inputs whose clique-heavy remainder is tiny).
+    Both counts move no rows to the driver when the graph is big; at real
+    scale both gates miss and the distributed path below runs unchanged.
+    All paths are exact, so the result is identical.
 
     Stops early at fixpoint; raises on non-convergence rather than silently
     splitting components (dedup_keep_canonical would retain duplicates) —
@@ -696,6 +719,25 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
              ).persist(StorageLevel.MEMORY_AND_DISK)  # blocked join runs ONCE
+    cap = int(os.environ.get("SKETCH_CC_LOCAL_EDGE_CAP", "500000"))
+    if cap > 0:
+        # early gate on the INPUT graph: counting the persisted edge set
+        # costs one cache scan (the contraction's groupBy would materialize
+        # the same persist anyway), and when the whole pair graph fits the
+        # local cap the contraction + loop machinery is skipped outright
+        n_edges = edges.count()
+        if stats is not None:
+            stats["input_edges"] = n_edges
+        if n_edges <= cap:
+            sol = _local_union_find(edges.toPandas())
+            edges.unpersist()
+            if stats is not None:
+                stats.update({"contracted_edges": None, "rounds": 0,
+                              "changed_per_round": [], "local_solve": True})
+            id_t = edges.schema["src"].dataType
+            schema = StructType([StructField("_id", id_t, False),
+                                 StructField("cluster", id_t, False)])
+            return pairs.sparkSession.createDataFrame(sol, schema)
     # phase 1: contract v -> min(closed neighborhood); every node appears as
     # src (edges are bidirectional), so m covers every node exactly once
     m = (edges.groupBy("src").agg(F.min("dst").alias("_mn"))
@@ -709,45 +751,30 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20,
           .where(F.col("src") != F.col("dst"))
           .distinct()).localCheckpoint()
     if stats is not None:
-        stats["input_edges"] = edges.count()
+        if "input_edges" not in stats:
+            stats["input_edges"] = edges.count()
         stats["contracted_edges"] = e2.count()
         stats["rounds"] = 0
         stats["changed_per_round"] = []
     # m and e2 are materialized (eager checkpoints) and nothing below reads
     # the raw edges again — release the data-scale blocks NOW, not at GC
     edges.unpersist()
-    # phase 2a: size-gated exact local solve (see docstring). The gate is a
-    # count() of the already-checkpointed contracted edges (a metadata-cheap
-    # job — no row ever reaches the driver when the graph is big), and the
-    # fetch when it fits is one Arrow toPandas of (long, long) rows.
-    cap = int(os.environ.get("SKETCH_CC_LOCAL_EDGE_CAP", "500000"))
+    # phase 2a: size-gated exact local solve of the CONTRACTED graph (see
+    # docstring; covers input > cap but contracted remainder <= cap). The
+    # gate is a count() of the already-checkpointed contracted edges (a
+    # metadata-cheap job — no row ever reaches the driver when the graph is
+    # big), and the fetch when it fits is one Arrow toPandas.
     if cap > 0:
         n_e2 = (stats["contracted_edges"] if stats is not None
                 else e2.count())
         if n_e2 <= cap:
-            pdf2 = e2.toPandas()
-            parent: dict = {}
-
-            def find(x):
-                parent.setdefault(x, x)
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for a, b in zip(pdf2["src"].tolist(), pdf2["dst"].tolist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # min root stays the root -> label = component minimum,
-                    # exactly the loop's fixpoint
-                    parent[max(ra, rb)] = min(ra, rb)
+            sol = _local_union_find(e2.toPandas())
             if stats is not None:
                 stats["local_solve"] = True
             id_t = e2.schema["src"].dataType
             schema = StructType([StructField("_rep2", id_t, False),
                                  StructField("_fc", id_t, False)])
-            final = pairs.sparkSession.createDataFrame(
-                [(x, find(x)) for x in parent], schema)
+            final = pairs.sparkSession.createDataFrame(sol, schema)
             return (m.join(final, m.rep == final._rep2, "left")
                     .select("_id", F.coalesce("_fc", "rep").alias("cluster")))
     # phase 2b: pointer-jumping min-label loop over the contracted graph
