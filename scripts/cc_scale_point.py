@@ -89,6 +89,10 @@ def main() -> None:
              .config("spark.driver.memory", "24g")
              .getOrCreate())
 
+    # this script measures the DISTRIBUTED contraction + pointer-jumping
+    # trajectory — force the loop even if the contracted remainder would
+    # fit the driver-side union-find gate
+    os.environ["SKETCH_CC_LOCAL_EDGE_CAP"] = "0"
     pairs = build_pairs(spark)
     t0 = time.perf_counter()
     stats: dict = {}

@@ -23,6 +23,7 @@ candidate pairs admit exact oracles.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -83,6 +84,13 @@ def _base_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _py_base_hash(s: str) -> int:
+    """Python twin of ``_base_hash`` for the Arrow-batched stages. MUST stay
+    bit-identical to the SQL expression and the DuckDB oracles — every
+    cross-engine hash in this module routes through these two functions."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, h): distinct shingle base-hashes per document.
 
@@ -95,8 +103,6 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     split, same k-window join, same md5[:15] base hash — set-equality
     verified at sf0.01/sf0.1 and pinned in tests): sf1.0 shingle table
     16.8 s -> 3.3 s."""
-    import hashlib
-
     narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     id_type = narrow.schema["_id"].dataType.simpleString()
 
@@ -115,8 +121,7 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
                     ss = {" ".join(toks)}
                 for s in ss:
                     ids_out.append(_id)
-                    hs_out.append(int(
-                        hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16))
+                    hs_out.append(_py_base_hash(s))
             yield pd.DataFrame({"_id": ids_out,
                                 "h": np.array(hs_out, dtype=np.int64)})
 
@@ -372,9 +377,12 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     60-bit hashes); NULL text drops the row exactly like explode(split(
     NULL)). Result is exact, hence partition-invariant (pinned in
     tests/test_pipeline_ops.py).
-    """
-    import hashlib
 
+    Precondition: one row per id (the corpus contract of every caller —
+    documents tables and shard inputs are id-unique). Rows SHARING an id
+    would previously have had their token hashes unioned by the
+    collect_set aggregate; this stage emits one signature per row.
+    """
     narrow = df.select(F.col(id_col).alias("_id"),
                        F.col(text_col).alias("_t"))
     out_schema = StructType([
@@ -386,7 +394,6 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         bit_range = np.arange(bits, dtype=np.uint64)[None, :]
         n_low = min(bits, 63)  # bit 63 is the int64 sign bit, handled apart
         shifts = np.arange(n_low, dtype=np.int64)[None, :]
-        md5 = hashlib.md5
         for pdf in batches:
             ids_out: list = []
             lens: list = []
@@ -394,8 +401,9 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
             for _id, t in zip(pdf["_id"], pdf["_t"]):
                 if t is None:
                     continue
-                hs = {int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-                      for tok in t.split(" ")}
+                # hash each DISTINCT token once (stopword-heavy text
+                # repeats tokens many times; the hash set is identical)
+                hs = {_py_base_hash(tok) for tok in set(t.split(" "))}
                 ids_out.append(_id)
                 lens.append(len(hs))
                 chunks.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))

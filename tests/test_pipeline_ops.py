@@ -485,7 +485,7 @@ def test_simhash_max_hamming_validation(spark):
         simhash_near_pairs(sigs, max_hamming=-1)
 
 
-def test_near_dup_clusters_random_graphs_vs_union_find(spark):
+def test_near_dup_clusters_random_graphs_vs_union_find(spark, monkeypatch):
     """The contraction + pointer-jumping CC must equal a reference
     union-find on random graph shapes: sparse random, dense clique-ish,
     long chains, and a mix with self-contained stars."""
@@ -513,13 +513,10 @@ def test_near_dup_clusters_random_graphs_vs_union_find(spark):
         # zero local-solve cap) must BOTH match the reference union-find
         got = {r["_id"]: r["cluster"]
                for r in near_dup_clusters(pairs, max_iters=30).collect()}
-        import os as _os
-        _os.environ["SKETCH_CC_LOCAL_EDGE_CAP"] = "0"
-        try:
-            got_dist = {r["_id"]: r["cluster"]
-                        for r in near_dup_clusters(pairs, max_iters=30).collect()}
-        finally:
-            del _os.environ["SKETCH_CC_LOCAL_EDGE_CAP"]
+        monkeypatch.setenv("SKETCH_CC_LOCAL_EDGE_CAP", "0")
+        got_dist = {r["_id"]: r["cluster"]
+                    for r in near_dup_clusters(pairs, max_iters=30).collect()}
+        monkeypatch.delenv("SKETCH_CC_LOCAL_EDGE_CAP")
         assert got == got_dist
         parent = {}
 
@@ -864,6 +861,32 @@ def test_cc_adversarial_skew_clique_plus_path(spark, monkeypatch):
     # pointer jumping: O(log2 diameter) rounds, not O(diameter)
     assert stats["rounds"] <= math.ceil(math.log2(path_n)) + 2
     assert stats["rounds"] >= 3  # the path is genuinely long (not trivial)
+
+
+def test_cc_local_solve_second_gate_contracted_graph(spark, monkeypatch):
+    """Phase 2a specifically: input edge count ABOVE the local cap, the
+    contracted remainder below it — the gate that a production-size
+    clique-heavy corpus takes. Pins the m-join-final composition (rep ->
+    component label, isolated reps labeling themselves) of the local path."""
+    from sketches_rust_spark.operators.dedup import near_dup_clusters
+
+    clique_ids = list(range(1_000, 1_080))          # contracts to 1 node
+    clique_edges = [(a, b) for i, a in enumerate(clique_ids)
+                    for b in clique_ids[i + 1:]]    # 3,160 pairs
+    path_ids = list(range(5_000, 5_200))            # min-star only shifts it
+    path_edges = [(path_ids[i], path_ids[i + 1])
+                  for i in range(len(path_ids) - 1)]
+    pairs = spark.createDataFrame(clique_edges + path_edges, ["id_a", "id_b"])
+    # input directed = 2*(3160+199) = 6,718 > cap; contracted = 2*198 <= cap
+    monkeypatch.setenv("SKETCH_CC_LOCAL_EDGE_CAP", "1000")
+    stats: dict = {}
+    labels = {r._id: r.cluster
+              for r in near_dup_clusters(pairs, stats=stats).collect()}
+    assert stats["input_edges"] == 6718
+    assert 0 < stats["contracted_edges"] <= 1000
+    assert stats.get("local_solve") is True and stats["rounds"] == 0
+    assert all(labels[i] == clique_ids[0] for i in clique_ids)
+    assert all(labels[i] == path_ids[0] for i in path_ids)
 
 
 def test_numpy_seq_dot_matches_expression_fold(spark):
