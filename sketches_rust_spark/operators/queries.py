@@ -1255,12 +1255,23 @@ SELECT 'kll' AS kind, l_returnflag AS grp, cnt, p50_ok, p90_ok, p99_ok FROM sub_
 def topk_exact_surface_query(lang_q, partkey_q):
     """Both exact pruned top-k proofs in one long-format result (50-row
     driver cap; see multimodal_all_query): (kind, item-as-string, cnt,
-    rank). Each sub-proof unchanged."""
+    rank). Each sub-proof unchanged.
+
+    The two proofs read different tables and drive independent pruning
+    loops (cache + per-round collect each), so they run from a 2-thread
+    pool (guide §2.6: the second proof's jobs back-fill executors idled by
+    the first's driver round-trips and stage tails). Results are combined
+    exactly as before; each proof's output is unchanged."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = lang_q(spark, sf_dir).select(
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(lang_q, spark, sf_dir)
+            fb = pool.submit(partkey_q, spark, sf_dir)
+            ra, rb = fa.result(), fb.result()
+        a = ra.select(
             F.lit("langs").alias("kind"), F.col("item").cast("string").alias("item"),
             "cnt", "rank")
-        b = partkey_q(spark, sf_dir).select(
+        b = rb.select(
             F.lit("partkeys").alias("kind"), F.col("item").cast("string").alias("item"),
             "cnt", "rank")
         return a.unionByName(b)
@@ -1281,11 +1292,18 @@ def ann_topk_surface_query(exact_q, lsh_q, ivf_q):
     over the same probes in one long-format result (50-row driver cap):
     (method, probe_id, vec_id, score, rank). Each sub-proof unchanged."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = []
-        for method, q in (("exact", exact_q), ("lsh", lsh_q), ("ivf", ivf_q)):
-            parts.append(q(spark, sf_dir).select(
-                F.lit(method).alias("method"), "probe_id", "vec_id",
-                "score", "rank"))
+        # the IVF builder stages its inverted file eagerly (parquet write)
+        # while exact/LSH construction is cheap — build the three from a
+        # thread pool so the eager build overlaps the others (guide §2.6);
+        # each sub-proof and the final union are unchanged
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [(m, pool.submit(q, spark, sf_dir))
+                    for m, q in (("exact", exact_q), ("lsh", lsh_q),
+                                 ("ivf", ivf_q))]
+        parts = [f.result().select(
+            F.lit(m).alias("method"), "probe_id", "vec_id", "score", "rank")
+            for m, f in futs]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
